@@ -1,0 +1,289 @@
+"""JIT-able image ops: normalization and stochastic augmentation with keyed PRNG.
+
+TPU-native re-design of the reference TF graph ops (see reference
+utils/image_ops.py:25-472). Everything here is static-shape and functional:
+randomness comes from explicit `jax.random` keys so a whole batch can be
+augmented inside one jitted function (vmap over per-sample keys).
+
+Key semantic anchors (reference file:line):
+- zscore                       utils/image_ops.py:25-32
+- adjust_window_width_level    utils/image_ops.py:35-65
+- random_adjust_window_width_level  utils/image_ops.py:68-102
+- random_zoom_in               utils/image_ops.py:105-185 (re-designed as a
+  fixed-output-shape crop-and-resize so shapes stay static under jit)
+- random_noise                 utils/image_ops.py:209-238
+- random_flip                  utils/image_ops.py:241-315
+- augment_gamma                utils/image_ops.py:339-354
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def zscore(img: jnp.ndarray) -> jnp.ndarray:
+    """Z-score normalization over the non-zero region (reference image_ops.py:25-32).
+
+    Pixels outside the (img > 0) region map to 0.
+    """
+    mask = img > 0
+    fmask = mask.astype(img.dtype)
+    n = jnp.maximum(jnp.sum(fmask), 1.0)
+    mean = jnp.sum(img * fmask) / n
+    var = jnp.sum((img - mean) ** 2 * fmask) / n
+    return (img - fmask * mean) / (fmask * jnp.sqrt(var) + 1e-8)
+
+
+def adjust_window_width_level(image: jnp.ndarray, w_width, w_level) -> jnp.ndarray:
+    """Window-width/level adjustment to [0, 1] (reference image_ops.py:35-65)."""
+    image = image.astype(jnp.float32)
+    lower = w_level - w_width / 2.0
+    upper = w_level + w_width / 2.0
+    return (jnp.clip(image, lower, upper) - lower) / w_width
+
+
+def random_adjust_window_width_level(key, image, w_width, w_level) -> jnp.ndarray:
+    """Randomly perturbed window adjustment (reference image_ops.py:68-102).
+
+    width += U(-50, 50), level += U(-15, 15).
+    """
+    kw, kl = jax.random.split(key)
+    rd_width = jax.random.uniform(kw, (), minval=-50.0, maxval=50.0)
+    rd_level = jax.random.uniform(kl, (), minval=-15.0, maxval=15.0)
+    return adjust_window_width_level(image, w_width + rd_width, w_level + rd_level)
+
+
+def random_noise(key, image, scale, mask=None, ntype: str = "uniform") -> jnp.ndarray:
+    """Additive random noise (reference image_ops.py:209-238)."""
+    abs_scale = jnp.abs(scale)
+    if ntype == "uniform":
+        noise = jax.random.uniform(
+            key, image.shape, dtype=image.dtype, minval=-1.0, maxval=1.0
+        ) * abs_scale
+    else:
+        noise = jax.random.normal(key, image.shape, dtype=image.dtype) * abs_scale
+    if mask is not None:
+        noise = noise * mask
+    return image + noise
+
+
+# ---------------------------------------------------------------------------
+# Flips
+# ---------------------------------------------------------------------------
+
+def random_flip(key, image, label=None, flip: int = 1):
+    """Randomly flip image (and label) along selected axes (image_ops.py:241-315).
+
+    flip bits: 1 = left/right (axis=-2 of [..., h, w, c] layout, i.e. width),
+    2 = up/down (height), 4 = front/back (leading/depth axis).
+
+    `image` is [h, w, c] or [d, h, w, c]; `label` is [h, w] or [d, h, w].
+    """
+    keys = jax.random.split(key, 3)
+
+    def maybe(img, lab, k, img_axis, lab_axis):
+        coin = jax.random.uniform(k, ()) >= 0.5
+        img = jnp.where(coin, jnp.flip(img, axis=img_axis), img)
+        if lab is not None:
+            lab = jnp.where(coin, jnp.flip(lab, axis=lab_axis), lab)
+        return img, lab
+
+    if flip & 1 > 0:  # left/right: width axis
+        image, label = maybe(image, label, keys[0], -2, -1)
+    if flip & 2 > 0:  # up/down: height axis
+        image, label = maybe(image, label, keys[1], -3, -2)
+    if flip & 4 > 0:  # front/back: depth axis
+        image, label = maybe(image, label, keys[2], 0, 0)
+    if label is None:
+        return image
+    return image, label
+
+
+# ---------------------------------------------------------------------------
+# Zoom (static-shape crop-and-resize)
+# ---------------------------------------------------------------------------
+
+def _grid_1d(out_size: int, crop_size, crop_start):
+    """Sampling coordinates for resizing a dynamic crop window to a static size.
+
+    Uses half-pixel centers (same convention as jax.image.resize 'linear').
+    """
+    scale = crop_size / out_size
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    return (dst + 0.5) * scale - 0.5 + crop_start
+
+
+def _bilinear_sample_2d(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """Bilinear sampling of [h, w, c] image at the outer product of ys/xs."""
+    h, w = image.shape[0], image.shape[1]
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)
+    wx = jnp.clip(xs - x0, 0.0, 1.0)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+
+    # Gather rows then columns (keeps gathers 1-D → cheap on TPU).
+    top = image[y0i, :, :]       # [oh, w, c]
+    bot = image[y1i, :, :]
+    tl = top[:, x0i, :]          # [oh, ow, c]
+    tr = top[:, x1i, :]
+    bl = bot[:, x0i, :]
+    br = bot[:, x1i, :]
+    wy = wy[:, None, None]
+    wx = wx[None, :, None]
+    return (tl * (1 - wy) * (1 - wx) + tr * (1 - wy) * wx
+            + bl * wy * (1 - wx) + br * wy * wx)
+
+
+def _nearest_sample_2d(label: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """Nearest-neighbor sampling of [h, w] (or [h, w, c]) array."""
+    h, w = label.shape[0], label.shape[1]
+    yi = jnp.clip(jnp.round(ys), 0, h - 1).astype(jnp.int32)
+    xi = jnp.clip(jnp.round(xs), 0, w - 1).astype(jnp.int32)
+    return label[yi][:, xi]
+
+
+def random_zoom_in(key, image, label=None, max_scale: float = 1.5):
+    """Random zoom-in with static output shape (reference image_ops.py:105-185).
+
+    The reference resizes the image up by U(1, max_scale) per axis and randomly
+    crops back to the original size — a dynamic-shape pattern hostile to XLA.
+    Equivalent static-shape formulation: sample a crop window of size
+    (h/sy, w/sx) at a uniform offset and bilinear-resize it to (h, w).
+    """
+    h, w = image.shape[0], image.shape[1]
+    k_scale, k_shift = jax.random.split(key)
+    scale = jax.random.uniform(k_scale, (2,), minval=1.0, maxval=max_scale)
+    crop_h = h / scale[0]
+    crop_w = w / scale[1]
+    off = jax.random.uniform(k_shift, (2,))
+    y0 = off[0] * (h - crop_h)
+    x0 = off[1] * (w - crop_w)
+    ys = _grid_1d(h, crop_h, y0)
+    xs = _grid_1d(w, crop_w, x0)
+    out_img = _bilinear_sample_2d(image, ys, xs)
+    if label is None:
+        return out_img, None
+    out_lab = _nearest_sample_2d(label, ys, xs)
+    return out_img, out_lab
+
+
+def crop_and_resize_2d(image, label, y0, x0, crop_h, crop_w, out_h: int, out_w: int):
+    """Resize a (possibly fractional, dynamic) crop window to a static size.
+
+    This is the workhorse behind object-aware training crops: the host sampler
+    only chooses scalars (window origin/size); the heavy resampling runs on
+    device with a static output shape.
+    """
+    ys = _grid_1d(out_h, crop_h, y0)
+    xs = _grid_1d(out_w, crop_w, x0)
+    out_img = _bilinear_sample_2d(image, ys, xs)
+    out_lab = None if label is None else _nearest_sample_2d(label, ys, xs)
+    return out_img, out_lab
+
+
+def augment_gamma(key, image, gamma_range: Tuple[float, float],
+                  retain_stats: bool = False, p_per_sample: float = 1.0,
+                  epsilon: float = 1e-7):
+    """Gamma augmentation (reference image_ops.py:339-354).
+
+    With prob p_per_sample, gamma ~ U(lo, 1); else gamma ~ U(1, hi).
+    """
+    k_p, k_lo, k_hi = jax.random.split(key, 3)
+    take_low = jax.random.uniform(k_p, ()) < p_per_sample
+    gamma = jnp.where(
+        take_low,
+        jax.random.uniform(k_lo, (), minval=gamma_range[0], maxval=1.0),
+        jax.random.uniform(k_hi, (), minval=1.0, maxval=gamma_range[1]),
+    )
+    if retain_stats:
+        mn = jnp.mean(image)
+        sd = jnp.std(image)
+    minm = jnp.min(image)
+    rnge = jnp.max(image) - minm
+    new_image = jnp.power((image - minm) / (rnge + epsilon), gamma) * rnge + minm
+    if retain_stats:
+        new_mn = jnp.mean(new_image)
+        new_sd = jnp.std(new_image)
+        new_image = (new_image - new_mn + mn) / (new_sd + 1e-8) * sd
+    return new_image
+
+
+def binary_dilation2d(inputs: jnp.ndarray, connection: int = 1,
+                      iterations: int = 1) -> jnp.ndarray:
+    """Binary dilation of [..., h, w] arrays (reference image_ops.py:357-393).
+
+    connection=1 → cross structuring element, connection=2 → full 3x3.
+    Implemented with shifted maxima (no conv needed on the VPU).
+    """
+    x = inputs
+    for _ in range(iterations):
+        # neighbor(i, j) views: pad on one side, trim the other
+        up = jnp.pad(x, _pad_spec(x.ndim, -2, 0, 1))[..., 1:, :]      # x[i+1, j]
+        down = jnp.pad(x, _pad_spec(x.ndim, -2, 1, 0))[..., :-1, :]   # x[i-1, j]
+        left = jnp.pad(x, _pad_spec(x.ndim, -1, 0, 1))[..., 1:]       # x[i, j+1]
+        right = jnp.pad(x, _pad_spec(x.ndim, -1, 1, 0))[..., :-1]     # x[i, j-1]
+        out = jnp.maximum(jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right)), x)
+        if connection == 2:
+            ul = jnp.pad(x, _pad_spec2(x.ndim, 0, 1, 0, 1))[..., 1:, 1:]
+            ur = jnp.pad(x, _pad_spec2(x.ndim, 0, 1, 1, 0))[..., 1:, :-1]
+            dl = jnp.pad(x, _pad_spec2(x.ndim, 1, 0, 0, 1))[..., :-1, 1:]
+            dr = jnp.pad(x, _pad_spec2(x.ndim, 1, 0, 1, 0))[..., :-1, :-1]
+            out = jnp.maximum(out, jnp.maximum(jnp.maximum(ul, ur), jnp.maximum(dl, dr)))
+        x = out
+    return x
+
+
+def _pad_spec(ndim, axis, lo, hi):
+    spec = [(0, 0)] * ndim
+    spec[axis] = (lo, hi)
+    return spec
+
+
+def _pad_spec2(ndim, hlo, hhi, wlo, whi):
+    spec = [(0, 0)] * ndim
+    spec[-2] = (hlo, hhi)
+    spec[-1] = (wlo, whi)
+    return spec
+
+
+# ---------------------------------------------------------------------------
+# Chamfer (city-block) distance transform — device-side EDT approximation
+# ---------------------------------------------------------------------------
+
+def _minplus_scan_1d(dist: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Forward+backward min-plus scan along `axis`: d[i] = min_k d0[k] + |i-k|."""
+    dist = jnp.moveaxis(dist, axis, 0)
+
+    def fwd(carry, row):
+        new = jnp.minimum(row, carry + 1.0)
+        return new, new
+
+    init = jnp.full(dist.shape[1:], jnp.inf, dtype=dist.dtype)
+    _, out = jax.lax.scan(fwd, init, dist)
+    _, out_rev = jax.lax.scan(fwd, init, out[::-1])
+    out = jnp.minimum(out, out_rev[::-1])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def distance_transform_cityblock(mask: jnp.ndarray, max_axes: Optional[Sequence[int]] = None):
+    """City-block (L1) distance to the nearest zero of `mask`.
+
+    Device-side stand-in for scipy.ndimage.distance_transform_edt used by the
+    reference boundary loss weights (loss_metrics.py:156-158). L1 distance
+    upper-bounds L2 by at most sqrt(2); for the exp(-d/25) weighting this is a
+    small, documented deviation (exact EDT is available host-side).
+    """
+    axes = max_axes if max_axes is not None else range(mask.ndim)
+    big = jnp.asarray(jnp.prod(jnp.asarray(mask.shape)), jnp.float32)
+    dist = jnp.where(mask > 0, big, 0.0).astype(jnp.float32)
+    for ax in axes:
+        dist = _minplus_scan_1d(dist, ax)
+    return dist

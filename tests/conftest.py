@@ -1,0 +1,12 @@
+"""Test configuration: force an 8-device CPU mesh so multi-chip sharding tests
+run anywhere (SURVEY.md §4: the JAX-native way to fake an 8-chip mesh).
+
+Must run before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

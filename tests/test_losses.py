@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxsegliver_tpu.ops import losses
+
+
+def _softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def test_compute_weights_none():
+    one_hot = jnp.zeros((2, 4, 4, 3))
+    w = losses.compute_weights("none", one_hot)
+    assert float(w) == 1.0
+
+
+def test_compute_weights_numerical_normalized():
+    labels = np.zeros((2, 4, 4), np.int32)
+    labels[:, :2] = 1
+    one_hot = jax.nn.one_hot(jnp.asarray(labels), 3)
+    w = np.asarray(losses.compute_weights("numerical", one_hot, numeric_w=[1.0, 5.0, 1.0]))
+    assert w.shape == (2, 4, 4)
+    # per-sample normalization to image area
+    np.testing.assert_allclose(w.sum(axis=(1, 2)), [16.0, 16.0], rtol=1e-5)
+    # class-1 pixels weigh 5x class-0 pixels
+    np.testing.assert_allclose(w[0, 0, 0] / w[0, 3, 0], 5.0, rtol=1e-5)
+
+
+def test_compute_weights_proportion():
+    labels = np.zeros((1, 4, 4), np.int32)
+    labels[0, 0, 0] = 1  # 1 fg pixel, 15 bg pixels
+    one_hot = jax.nn.one_hot(jnp.asarray(labels), 2)
+    w = np.asarray(losses.compute_weights("proportion", one_hot))
+    np.testing.assert_allclose(w.sum(), 16.0, rtol=1e-5)
+    # rare class gets a larger weight
+    assert w[0, 0, 0] > w[0, 1, 1]
+    # 1/1 vs 1/15 proportions → ratio 15
+    np.testing.assert_allclose(w[0, 0, 0] / w[0, 1, 1], 15.0, rtol=1e-4)
+
+
+def test_wsce_matches_manual_mean():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(2, 4, 4, 3).astype(np.float32)
+    labels = rng.randint(0, 3, (2, 4, 4)).astype(np.int32)
+    got = float(losses.weighted_sparse_softmax_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), "none"))
+    p = _softmax(logits)
+    want = -np.mean(np.log(p[np.arange(2)[:, None, None],
+                             np.arange(4)[None, :, None],
+                             np.arange(4)[None, None, :], labels] + 1e-12))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_wsce_weighted_reduction():
+    # sum(w * ce) / count_nonzero(w) — TF1 SUM_BY_NONZERO_WEIGHTS semantics
+    rng = np.random.RandomState(1)
+    logits = rng.randn(1, 2, 2, 2).astype(np.float32)
+    labels = np.array([[[0, 1], [1, 0]]], np.int32)
+    got = float(losses.weighted_sparse_softmax_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), "numerical", numeric_w=[1.0, 3.0]))
+    p = _softmax(logits)
+    ce = -np.log(np.take_along_axis(p, labels[..., None], axis=-1)[..., 0])
+    w = np.where(labels == 1, 3.0, 1.0)
+    w = w / w.sum() * 4.0
+    want = (w * ce).sum() / 4.0
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_dice_loss_perfect_and_worst():
+    labels = np.array([[[0, 1], [1, 0]]], np.int32)
+    perfect = np.eye(2, dtype=np.float32)[labels]
+    loss = float(losses.sparse_dice_loss(jnp.asarray(perfect), jnp.asarray(labels)))
+    np.testing.assert_allclose(loss, 0.0, atol=1e-6)
+    worst = np.eye(2, dtype=np.float32)[1 - labels]
+    loss = float(losses.sparse_dice_loss(jnp.asarray(worst), jnp.asarray(labels)))
+    np.testing.assert_allclose(loss, 1.0, atol=1e-6)
+
+
+def test_dice_loss_pools_classes():
+    # generalized dice pools over class axis (reference loss_metrics.py:218-220)
+    labels = np.array([[[1, 2], [0, 0]]], np.int32)
+    probs = np.eye(3, dtype=np.float32)[labels]
+    loss = float(losses.sparse_dice_loss(jnp.asarray(probs), jnp.asarray(labels)))
+    np.testing.assert_allclose(loss, 0.0, atol=1e-5)
+
+
+def test_make_loss_fn_composition():
+    rng = np.random.RandomState(2)
+    logits = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 2, (1, 4, 4)).astype(np.int32))
+    lx = losses.make_loss_fn("xentropy")(logits, labels)
+    ld = losses.make_loss_fn("dice")(logits, labels)
+    lb = losses.make_loss_fn("xentropy+dice")(logits, labels)
+    np.testing.assert_allclose(float(lb), float(lx) + float(ld), rtol=1e-5)
+
+
+def test_boundary_weights_shape_and_norm():
+    labels = np.zeros((1, 16, 16), np.int32)
+    labels[0, 4:10, 4:10] = 1
+    one_hot = jax.nn.one_hot(jnp.asarray(labels), 2)
+    w = np.asarray(losses.compute_weights("boundary", one_hot))
+    assert w.shape == (1, 16, 16)
+    np.testing.assert_allclose(w.sum(), 256.0, rtol=1e-4)
+    # boundary pixels weigh more than far-away pixels
+    assert w[0, 4, 4] > w[0, 15, 15]
+
+
+def test_l2_regularization_filters_norm_params():
+    params = {
+        "Conv_0": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+        "BatchNorm_0": {"scale": jnp.ones((2,)), "bias": jnp.ones((2,))},
+    }
+    reg = float(losses.l2_regularization(params, 0.1))
+    # 0.5 * 0.1 * (4 + 2) — norm params excluded
+    np.testing.assert_allclose(reg, 0.5 * 0.1 * 6.0, rtol=1e-6)
+    reg_nb = float(losses.l2_regularization(params, 0.1, bias_decay=True))
+    np.testing.assert_allclose(reg_nb, 0.5 * 0.1 * 4.0, rtol=1e-6)
+
+
+def test_focal_loss_runs():
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(8, 2).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 2, (8,)).astype(np.int32))
+    val = float(losses.sparse_focal_loss(logits, labels))
+    assert np.isfinite(val) and val > 0
