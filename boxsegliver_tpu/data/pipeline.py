@@ -1,0 +1,155 @@
+"""Device-side batch processing + prefetching train dataset.
+
+TPU-first replacement for the reference's tf.data map_and_batch stage
+(reference DataLoader/Liver/input_pipeline_g.py:347-412 ``data_processing_train``
+and :696-768 ``get_dataset_for_train``): the host sampler (sampler.py) emits
+fixed-shape uint16 windows + scalars; ONE jitted, vmapped function does
+resize / window-normalize / Gaussian-guide render / noise / joint flips on
+device.  A background thread pool keeps a prefetch queue of ready host batches
+so the accelerator never waits on sampling.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxsegliver_tpu.ops import image_ops
+from boxsegliver_tpu.ops.guides import gaussian_guide_2d, to_guided_range
+
+
+def _process_one(window, label, crop_hw, clip, pad_mask, key,
+                 centers, stddevs, n_objs, context,
+                 *, im_h: int, im_w: int, noise_scale: float, random_flip: int,
+                 use_spatial: bool, min_std: float):
+    """Per-sample device processing (vmapped). Shapes are static:
+    window [C, Hm, Wm] uint16, label [Hm, Wm] uint8."""
+    img = jnp.transpose(window, (1, 2, 0)).astype(jnp.float32)     # [Hm, Wm, C]
+    img, lab = image_ops.crop_and_resize_2d(
+        img, label, 0.0, 0.0, crop_hw[0], crop_hw[1], im_h, im_w)
+    lab = lab.astype(jnp.int32)
+
+    # window-level clip-normalize (input_pipeline_g.py:362-363)
+    lo, hi = clip[0], clip[1]
+    img = (jnp.clip(img, lo, hi) - lo) / (hi - lo)
+
+    k_noise, k_flip = jax.random.split(key)
+    feats = {}
+    if use_spatial:
+        stds = jnp.maximum(stddevs, min_std)
+        valid = (jnp.arange(centers.shape[0]) < n_objs)
+        guide = gaussian_guide_2d((im_h, im_w), centers, stds, mask=valid)
+        guide = jnp.where(n_objs > 0, to_guided_range(guide),
+                          jnp.full((im_h, im_w, 1), 0.5, jnp.float32))
+        feats["sp_guide"] = guide
+    if context is not None:
+        feats["context"] = context
+
+    if noise_scale > 0:
+        img = image_ops.random_noise(k_noise, img, noise_scale)
+        img = img * pad_mask[None, None, :]  # kill noise in padded z slices
+
+    if random_flip:
+        if use_spatial:
+            joint = jnp.concatenate([img, feats["sp_guide"]], axis=-1)
+            joint, lab = image_ops.random_flip(k_flip, joint, lab, flip=random_flip)
+            img = joint[..., :img.shape[-1]]
+            feats["sp_guide"] = joint[..., img.shape[-1]:]
+        else:
+            img, lab = image_ops.random_flip(k_flip, img, lab, flip=random_flip)
+
+    feats["images"] = img
+    return feats, lab
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "im_h", "im_w", "noise_scale", "random_flip", "use_spatial", "min_std"))
+def process_train_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
+                        im_w: int, noise_scale: float, random_flip: int,
+                        use_spatial: bool, min_std: float):
+    """Whole-batch jitted processing: returns (features dict, labels[bs,h,w])."""
+    bs = batch["window"].shape[0]
+    keys = jax.random.split(key, bs)
+    centers = batch.get("centers", jnp.full((bs, 1, 2), -1.0, jnp.float32))
+    stddevs = batch.get("stddevs", jnp.ones((bs, 1, 2), jnp.float32))
+    n_objs = batch.get("n_objs", jnp.zeros((bs,), jnp.int32))
+    context = batch.get("context", None)
+
+    fn = functools.partial(_process_one, im_h=im_h, im_w=im_w,
+                           noise_scale=noise_scale, random_flip=random_flip,
+                           use_spatial=use_spatial, min_std=min_std)
+    in_axes = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0 if context is not None else None)
+    feats, labels = jax.vmap(fn, in_axes=in_axes)(
+        batch["window"], batch["label"], batch["crop_hw"], batch["clip"],
+        batch["pad_mask"], keys, centers, stddevs, n_objs, context)
+    feats["names"] = batch["names"]
+    return feats, labels
+
+
+class TrainDataset:
+    """Iterator of device-ready (features, labels): host sampling on worker
+    threads + bounded prefetch queue (replaces tf.data prefetch(AUTOTUNE),
+    reference input_pipeline_g.py:756-766)."""
+
+    def __init__(self, sampler, args, seed: int = 0, prefetch: int = 4,
+                 workers: Optional[int] = None):
+        self.sampler = sampler
+        self.args = args
+        self.batch_size = args.batch_size
+        self.key = jax.random.PRNGKey(seed)
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = []
+        n_workers = workers if workers is not None else getattr(args, "host_workers", 2)
+        self._lock = threading.Lock()
+        for _ in range(max(1, n_workers)):
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            with self._lock:
+                batch = self.sampler.sample_batch(self.batch_size)
+            try:
+                self._q.put(batch, timeout=1.0)
+            except queue.Full:
+                if self._stop.is_set():
+                    return
+                # retry until queue drains
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+
+    def __iter__(self) -> Iterator[Tuple[Dict, jnp.ndarray]]:
+        return self
+
+    def __next__(self):
+        batch = self._q.get()
+        self.key, sub = jax.random.split(self.key)
+        args = self.args
+        return process_train_batch(
+            {k: jnp.asarray(v) for k, v in batch.items()}, sub,
+            im_h=args.im_height, im_w=args.im_width,
+            noise_scale=float(args.noise_scale),
+            random_flip=int(args.random_flip),
+            use_spatial=bool(getattr(args, "use_spatial", False)),
+            min_std=float(getattr(args, "min_std", 2.0)))
+
+    def close(self):
+        self._stop.set()
+        # drain so workers blocked on put() can exit
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,284 @@
+"""Host-side training sampler: class-balanced case/slice/crop selection.
+
+Re-implements the sampling *decisions* of the reference generator
+(reference DataLoader/Liver/input_pipeline_g.py:415-599 ``gen_train_batch``):
+tumor%/liver% forced sampling, random zoom crop windows, object-aware crop
+offsets, 2.5D slice stacks with zero padding, random window-level, histogram
+context with noise, and spatial-guide moments with center/stddev perturbation
+and inner-random tumor subsets.
+
+TPU-first split: the host only touches metadata and copies a fixed-size uint16
+window out of a memory-mapped volume; ALL pixel math (resize, normalize,
+guide render, noise, flips) happens in one jitted device function
+(pipeline.process_train_batch).  Ragged per-slice tumor lists become
+(max_objs)-padded arrays + counts so shapes stay static under jit.
+
+Deviation from the reference (documented): the reference renders the Gaussian
+guide at crop size and bilinear-resizes to target; we scale the moments to
+target coordinates and render directly at target resolution — exact instead of
+resampled, and cheaper.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from boxsegliver_tpu.data.kfold import LITS_SEED, read_or_create_k_folds, train_test_split
+from boxsegliver_tpu.data.meta import IM_SCALE, load_meta
+
+# Fixed window-level clip in stored uint16 units (reference gen_train_batch:
+# input_pipeline_g.py:519-523; stored = (HU + 250) * IM_SCALE)
+FIXED_CLIP = (50.0 * IM_SCALE, 500.0 * IM_SCALE)
+
+
+def compact_case(meta: Dict, case_dir: Optional[Path] = None) -> Dict:
+    """Meta → the per-case dict the reference builds for sampling
+    (input_pipeline_g.py:200-246): tumor bboxes/centers/stddevs grouped by
+    slice index, organ bbox, size."""
+    ft = meta["tumor_slices_from_to"]
+    slices, centers, stddevs = [], [], []
+    for ind in range(len(meta["tumor_slices_index"])):
+        lo, hi = ft[ind], ft[ind + 1]
+        slices.append(meta["tumor_slices"][lo:hi])
+        centers.append(meta["tumor_slices_centers"][lo:hi])
+        stddevs.append(meta["tumor_slices_stddevs"][lo:hi])
+    return {
+        "PID": meta["PID"],
+        "size": meta["size"],
+        "bbox": meta["bbox"],
+        "tumor_slices_index": meta["tumor_slices_index"],
+        "slices": slices,
+        "centers": centers,
+        "stddevs": stddevs,
+        "case_dir": str(case_dir) if case_dir else None,
+    }
+
+
+class CaseVolumes:
+    """Lazy memory-mapped access to the npy cache."""
+
+    def __init__(self, root: Path):
+        self.root = Path(root)
+        self._vols: Dict[int, np.ndarray] = {}
+        self._labs: Dict[int, np.ndarray] = {}
+
+    def volume(self, pid: int) -> np.ndarray:
+        if pid not in self._vols:
+            self._vols[pid] = np.load(self.root / f"volume-{pid}" / "volume.npy",
+                                      mmap_mode="r")
+        return self._vols[pid]
+
+    def label(self, pid: int) -> np.ndarray:
+        if pid not in self._labs:
+            self._labs[pid] = np.load(
+                self.root / f"volume-{pid}" / "segmentation.npy", mmap_mode="r")
+        return self._labs[pid]
+
+
+def _crop_offset(obj_bb, crop, size_ax) -> int:
+    """Object-aware crop offset for one axis (input_pipeline_g.py:480-497).
+
+    obj_bb = (lo, hi) of the object along this axis; crop = crop size; the
+    window tries to fully contain the object with a 5-px margin, else crops
+    part of it."""
+    lo, hi = obj_bb
+    rng_l = max(hi + 5 - crop, 0)
+    rng_r = min(lo - 5, size_ax - crop)
+    if rng_l + 20 < rng_r:
+        return random.randint(rng_l, rng_r)
+    a = max(lo - 20, 0)
+    b = min(int(lo * 0.75 + hi * 0.25), size_ax - crop)
+    return random.randint(min(a, b), max(a, b)) if b >= a else max(b, 0)
+
+
+class TrainSampler:
+    """Infinite class-balanced batch sampler over prepared cases."""
+
+    def __init__(self, dataset_dir, args, mode: str = "train",
+                 pids: Optional[Sequence[int]] = None, seed: Optional[int] = None):
+        self.root = Path(dataset_dir)
+        self.args = args
+        metas = load_meta(self.root)
+        if pids is None:
+            folds = read_or_create_k_folds(
+                self.root / "k_folds.txt", [m["PID"] for m in metas],
+                k_split=getattr(args, "k_folds", 5), seed=LITS_SEED)
+            train, test = train_test_split(folds, args.test_fold)
+            pids = [int(p) for p in (train if mode == "train" else test)]
+        pid_set = set(int(p) for p in pids)
+        self.cases: List[Dict] = [compact_case(m) for m in metas
+                                  if int(m["PID"]) in pid_set]
+        self.vols = CaseVolumes(self.root)
+        self.mode = mode
+        self.rng = np.random.RandomState(seed)
+        if seed is not None:
+            random.seed(seed)
+
+        self.target = (args.im_height, args.im_width)
+        self.channel = args.im_channel
+        self.zoom = tuple(args.zoom_scale)
+        self.max_crop = (int(math.ceil(self.target[0] * self.zoom[1])),
+                         int(math.ceil(self.target[1] * self.zoom[1])))
+        self.use_context = bool(getattr(args, "use_context", False))
+        self.use_spatial = bool(getattr(args, "use_spatial", False))
+        self.max_objs = int(getattr(args, "max_objs", 8))
+        self.context_list = self._parse_context_list(
+            getattr(args, "context_list", None))
+        self._context_cache: Dict[int, np.ndarray] = {}
+
+        self.tumor_cases = [i for i, c in enumerate(self.cases) if c["slices"]]
+        if not self.cases:
+            raise ValueError(f"No cases for mode={mode} in {dataset_dir}")
+
+    @staticmethod
+    def _parse_context_list(raw) -> List[Tuple[str, int]]:
+        if not raw:
+            return [("hist", 200)]
+        return [(raw[i], int(raw[i + 1])) for i in range(0, len(raw), 2)]
+
+    @property
+    def context_len(self) -> int:
+        return sum(l for _, l in self.context_list)
+
+    def _context_features(self, pid: int) -> np.ndarray:
+        """hist features ×hist_scale (reference feature_ops.py:20-24),
+        context_mode='train' (GT-based histograms)."""
+        if pid not in self._context_cache:
+            feats = []
+            for name, f_len in self.context_list:
+                arr = np.load(self.root / "feat" / name / "train" / ("%03d.npy" % pid))
+                assert arr.shape[1] == f_len, f"feature length {arr.shape[1]} != {f_len}"
+                if name == "hist":
+                    arr = arr * self.args.hist_scale
+                feats.append(arr.astype(np.float32))
+            self._context_cache[pid] = np.concatenate(feats, axis=1)
+        return self._context_cache[pid]
+
+    def _stack_window(self, pid: int, sid: int, off_y: int, off_x: int,
+                      crop: Tuple[int, int]):
+        """2.5D channel stack copied into a fixed [C, Hmax, Wmax] buffer
+        (zero-padded beyond crop and beyond the z range,
+        input_pipeline_g.py:498-515)."""
+        vol = self.vols.volume(pid)
+        lab = self.vols.label(pid)
+        depth = vol.shape[0]
+        ch = self.channel
+        lh = (ch - 1) // 2
+        win = np.zeros((ch, self.max_crop[0], self.max_crop[1]), np.uint16)
+        pad_mask = np.zeros((ch,), np.float32)
+        for k in range(ch):
+            z = sid - lh + k
+            if 0 <= z < depth:
+                win[k, :crop[0], :crop[1]] = vol[z, off_y:off_y + crop[0],
+                                                 off_x:off_x + crop[1]]
+                pad_mask[k] = 1.0
+        lab_win = np.zeros((self.max_crop[0], self.max_crop[1]), np.uint8)
+        lab_win[:crop[0], :crop[1]] = lab[sid, off_y:off_y + crop[0],
+                                          off_x:off_x + crop[1]]
+        return win, lab_win, pad_mask
+
+    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        args = self.args
+        target = np.asarray(self.target, np.float32)
+        force_tumor = math.ceil(batch_size * args.tumor_percent)
+        force_liver = math.ceil(batch_size * args.guide_percent)
+
+        ci1 = self.rng.choice(self.tumor_cases or [0], force_tumor, True)
+        ci2 = self.rng.choice(len(self.cases), batch_size - force_tumor, True)
+        ci = np.concatenate([ci1, ci2])
+
+        out = {
+            "window": np.zeros((batch_size, self.channel) + self.max_crop, np.uint16),
+            "label": np.zeros((batch_size,) + self.max_crop, np.uint8),
+            "crop_hw": np.zeros((batch_size, 2), np.float32),
+            "clip": np.zeros((batch_size, 2), np.float32),
+            "pad_mask": np.zeros((batch_size, self.channel), np.float32),
+            "names": np.zeros((batch_size,), np.int32),
+        }
+        if self.use_context:
+            out["context"] = np.zeros((batch_size, self.context_len), np.float32)
+        if self.use_spatial:
+            out["centers"] = np.zeros((batch_size, self.max_objs, 2), np.float32)
+            out["stddevs"] = np.ones((batch_size, self.max_objs, 2), np.float32)
+            out["n_objs"] = np.zeros((batch_size,), np.int32)
+
+        liver_counter = tumor_counter = 0
+        for j, i in enumerate(ci):
+            case = self.cases[i]
+            size = case["size"]
+            pid = case["PID"]
+            crop = (target * self.rng.uniform(*self.zoom, size=2)).astype(np.int32)
+            crop = (int(min(crop[0], size[1])), int(min(crop[1], size[2])))
+
+            ind = -1
+            if tumor_counter < force_tumor and case["slices"]:
+                ind = self.rng.randint(len(case["slices"]))
+                sid = case["tumor_slices_index"][ind]
+                tumor_counter += 1
+                liver_counter += 1
+                obj_bb = case["slices"][ind][random.randint(0, len(case["slices"][ind]) - 1)]
+            elif liver_counter < force_liver:
+                sid = random.randint(case["bbox"][0], case["bbox"][3] - 1)
+                liver_counter += 1
+                b = case["bbox"]
+                obj_bb = [b[1], b[2], b[4], b[5]]
+                if sid in case["tumor_slices_index"]:
+                    ind = case["tumor_slices_index"].index(sid)
+            else:
+                sid = random.randint(0, size[0] - 1)
+                obj_bb = [size[1], size[2], 0, 0]  # no object
+                if sid in case["tumor_slices_index"]:
+                    ind = case["tumor_slices_index"].index(sid)
+
+            off_y = _crop_offset((obj_bb[0], obj_bb[2]), crop[0], size[1])
+            off_x = _crop_offset((obj_bb[1], obj_bb[3]), crop[1], size[2])
+
+            win, lab, pad = self._stack_window(pid, sid, off_y, off_x, crop)
+            out["window"][j] = win
+            out["label"][j] = lab
+            out["pad_mask"][j] = pad
+            out["crop_hw"][j] = crop
+            out["names"][j] = pid
+            if getattr(args, "random_window", False):
+                out["clip"][j] = (random.randint(10, 50) * IM_SCALE,
+                                  random.randint(500, 540) * IM_SCALE)
+            else:
+                out["clip"][j] = FIXED_CLIP
+
+            use_sp = random.random() < getattr(args, "spatial_random", 1.0)
+            if self.use_context:
+                if use_sp:
+                    feat = self._context_features(pid)[sid].copy()
+                    if getattr(args, "hist_noise", False):
+                        feat += (self.rng.normal(0.0, 1.0, feat.shape)
+                                 * args.hist_noise_scale).astype(np.float32)
+                    out["context"][j] = feat
+            if self.use_spatial and use_sp and ind >= 0:
+                centers = np.asarray(case["centers"][ind], np.float32)
+                stddevs = np.asarray(case["stddevs"][ind], np.float32)
+                inbox = [t for t in range(centers.shape[0])
+                         if off_y <= centers[t][0] < off_y + crop[0]
+                         and off_x <= centers[t][1] < off_x + crop[1]]
+                if getattr(args, "spatial_inner_random", False) and inbox:
+                    inbox = random.sample(inbox, k=random.randint(1, len(inbox)))
+                inbox = inbox[:self.max_objs]
+                if inbox:
+                    c = centers[inbox] - np.array([off_y, off_x], np.float32)
+                    s = stddevs[inbox]
+                    c = c + s * self.rng.uniform(-args.center_random_ratio,
+                                                 args.center_random_ratio, c.shape)
+                    s = s * self.rng.uniform(1.0 / (1 + args.stddev_random_ratio),
+                                             1.0 + args.stddev_random_ratio, s.shape)
+                    s = np.maximum(s, args.min_std)
+                    # scale moments crop → target (render-at-target redesign)
+                    scale = target / np.asarray(crop, np.float32)
+                    n = len(inbox)
+                    out["centers"][j, :n] = c * scale
+                    out["stddevs"][j, :n] = np.maximum(s * scale, 1e-3)
+                    out["n_objs"][j] = n
+        return out

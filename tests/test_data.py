@@ -1,0 +1,215 @@
+"""Data layer tests: NIfTI IO, k-folds, meta extraction, sampler, device pipeline."""
+
+import argparse
+import json
+
+import numpy as np
+import pytest
+
+from boxsegliver_tpu.data import nii
+from boxsegliver_tpu.data.kfold import (random_split_k_fold,
+                                        read_or_create_k_folds,
+                                        train_test_split)
+from boxsegliver_tpu.data import meta as meta_mod
+from boxsegliver_tpu.data import synthetic
+from boxsegliver_tpu.data.sampler import TrainSampler
+from boxsegliver_tpu.data.pipeline import TrainDataset, process_train_batch
+
+
+def _args(**kw):
+    ns = argparse.Namespace(
+        im_height=64, im_width=64, im_channel=3, zoom_scale=[1.0, 1.25],
+        batch_size=4, tumor_percent=0.5, guide_percent=0.66, test_fold=0,
+        k_folds=4, noise_scale=0.05, random_flip=3, random_window=False,
+        use_context=False, use_spatial=False, hist_scale=20.0,
+        hist_noise=False, hist_noise_scale=0.002, spatial_random=1.0,
+        spatial_inner_random=False, center_random_ratio=0.2,
+        stddev_random_ratio=0.4, min_std=2.0, max_objs=8, host_workers=1,
+        context_list=None)
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+# ---------------------------------------------------------------------------
+# NIfTI IO
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+@pytest.mark.parametrize("dtype", [np.int16, np.uint8, np.float32])
+def test_nii_roundtrip(tmp_path, suffix, dtype):
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 100, (5, 7, 9)).astype(dtype)
+    path = tmp_path / ("x" + suffix)
+    nii.write_nii(vol, path, zooms=(2.5, 0.8, 0.8))
+    hdr, back = nii.read_nii(path)
+    np.testing.assert_array_equal(back, vol)
+    assert hdr.get_data_shape() == (9, 7, 5)  # (x, y, z) like nibabel
+    np.testing.assert_allclose(hdr.get_zooms(), (0.8, 0.8, 2.5), rtol=1e-6)
+
+
+def test_nii_special_flip(tmp_path):
+    vol = np.arange(24).reshape(2, 3, 4).astype(np.int16)
+    path = tmp_path / "f.nii"
+    nii.write_nii(vol, path)
+    _, flipped = nii.read_nii(path, special=True)
+    np.testing.assert_array_equal(flipped, vol[:, ::-1])
+
+
+# ---------------------------------------------------------------------------
+# K-folds
+# ---------------------------------------------------------------------------
+
+def test_kfold_split_deterministic():
+    a = random_split_k_fold(list(range(23)), 5, seed=1357)
+    b = random_split_k_fold(list(range(23)), 5, seed=1357)
+    assert a == b
+    assert sorted(sum(a, [])) == list(range(23))
+    sizes = [len(f) for f in a]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_kfold_persist_and_reread(tmp_path):
+    path = tmp_path / "k_folds.txt"
+    folds = read_or_create_k_folds(path, list(range(10)), k_split=3, seed=1)
+    again = read_or_create_k_folds(path, list(range(999)), k_split=7, seed=9)
+    assert [[str(x) for x in f] for f in folds] == again
+    train, test = train_test_split(again, 1)
+    assert set(train) | set(test) == set(str(i) for i in range(10))
+    assert not set(train) & set(test)
+
+
+# ---------------------------------------------------------------------------
+# Meta extraction (schema parity with reference extract.py:160-176)
+# ---------------------------------------------------------------------------
+
+def test_process_case_schema_and_consistency():
+    rng = np.random.default_rng(1)
+    vol, lab, spacing = synthetic.make_case(rng, shape=(16, 48, 48))
+    m = meta_mod.process_case(vol, lab, spacing, pid=7)
+    for key in ("PID", "size", "spacing", "bbox", "tumors", "tumor_areas",
+                "tumor_centers", "tumor_stddevs", "tumor_slices_from_to",
+                "tumor_slices", "tumor_slices_index", "tumor_slices_centers",
+                "tumor_slices_stddevs", "tumor_slices_areas", "tumor_slices_tid"):
+        assert key in m, key
+    assert m["PID"] == 7 and m["size"] == [16, 48, 48]
+    # run-length list consistency
+    n_regions = m["tumor_slices_from_to"][-1]
+    assert len(m["tumor_slices_centers"]) == n_regions
+    assert len(m["tumor_slices_tid"]) == n_regions
+    assert len(m["tumor_slices_from_to"]) == len(m["tumor_slices_index"]) + 1
+    # every 2D center lies inside its slice bbox
+    for c, bb in zip(m["tumor_slices_centers"], m["tumor_slices"]):
+        assert bb[0] - 1 <= c[0] <= bb[2] + 1
+        assert bb[1] - 1 <= c[1] <= bb[3] + 1
+    # organ bbox ([z1, y1, x1, z2+1, y2+1, x2+1]) covers all tumors' z-range
+    for t in m["tumors"]:
+        assert t[0] >= m["bbox"][0] and t[3] <= m["bbox"][3]
+
+
+def test_synthetic_dataset_and_prior(tmp_path):
+    root = synthetic.make_synthetic_dataset(tmp_path / "ds", n_cases=2,
+                                            shape=(12, 40, 40), k_split=2)
+    metas = meta_mod.load_meta(root)
+    assert len(metas) == 2
+    assert (root / "volume-0" / "volume.npy").exists()
+    assert (root / "k_folds.txt").exists()
+    # hist features: [depth, 200], organ histogram sums to ~1/binwidth density
+    h = np.load(root / "feat" / "hist" / "train" / "000.npy")
+    assert h.shape == (12, 200)
+    assert np.all(np.isfinite(h))
+    # prior.json: every entry has z-range + center + stddev
+    prior = json.loads((root / "prior.json").read_text())
+    assert set(prior) == {"0", "1"}
+    for case in prior.values():
+        for objs in case.values():
+            for o in objs:
+                assert len(o["z"]) == 2 and len(o["center"]) == 2
+
+
+def test_extract_roundtrip_nifti(tmp_path):
+    """NIfTI → extract_dataset → meta + npy cache."""
+    rng = np.random.default_rng(3)
+    src = tmp_path / "src"
+    src.mkdir()
+    vol, lab, spacing = synthetic.make_case(rng, shape=(10, 32, 32))
+    nii.write_nii(vol, src / "volume-0.nii", zooms=spacing[::-1])
+    nii.write_nii(lab, src / "segmentation-0.nii", zooms=spacing[::-1])
+    metas = meta_mod.extract_dataset(src, tmp_path / "dst", lits_quirk=False)
+    assert metas[0]["size"] == [10, 32, 32]
+    cached = np.load(tmp_path / "dst" / "volume-0" / "volume.npy")
+    assert cached.dtype == np.uint16
+    expect = meta_mod.window_clip_uint16(vol)
+    np.testing.assert_array_equal(cached, expect)
+
+
+# ---------------------------------------------------------------------------
+# Sampler + device pipeline
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    return synthetic.make_synthetic_dataset(root, n_cases=3, shape=(14, 96, 96),
+                                            k_split=3, seed=5)
+
+
+def test_sampler_shapes_and_balance(dataset):
+    args = _args()
+    s = TrainSampler(dataset, args, mode="train", seed=0)
+    b = s.sample_batch(4)
+    assert b["window"].shape == (4, 3, 80, 80)  # ceil(64*1.25)=80
+    assert b["label"].shape == (4, 80, 80)
+    assert b["crop_hw"].min() >= 64 and b["crop_hw"].max() <= 80
+    assert set(b["label"].flatten().tolist()) <= {0, 1, 2}
+    # tumor forcing: at least ceil(4*0.5)=2 samples contain tumor pixels
+    n_tumor = sum(1 for i in range(4) if (b["label"][i] == 2).any())
+    assert n_tumor >= 1  # crop may clip the tumor, but typically >= 2
+
+
+def test_sampler_guides(dataset):
+    args = _args(use_spatial=True, use_context=True)
+    s = TrainSampler(dataset, args, mode="train", seed=0)
+    b = s.sample_batch(4)
+    assert b["centers"].shape == (4, 8, 2)
+    assert b["context"].shape == (4, 200)
+    assert b["n_objs"].max() >= 1
+    valid = b["centers"][b["n_objs"] > 0]
+    assert valid.max() < 96
+
+
+def test_process_train_batch_outputs(dataset):
+    import jax
+    args = _args(use_spatial=True)
+    s = TrainSampler(dataset, args, mode="train", seed=0)
+    b = s.sample_batch(4)
+    feats, labels = process_train_batch(
+        {k: np.asarray(v) for k, v in b.items()}, jax.random.PRNGKey(0),
+        im_h=64, im_w=64, noise_scale=0.05, random_flip=3, use_spatial=True,
+        min_std=2.0)
+    assert feats["images"].shape == (4, 64, 64, 3)
+    assert feats["sp_guide"].shape == (4, 64, 64, 1)
+    assert labels.shape == (4, 64, 64)
+    img = np.asarray(feats["images"])
+    assert img.min() >= -0.06 and img.max() <= 1.06  # [0,1] + noise
+    g = np.asarray(feats["sp_guide"])
+    assert g.min() >= 0.5 - 1e-5 and g.max() <= 1.0 + 1e-5
+    # guided samples have a peak above background
+    n_objs = np.asarray(b["n_objs"])
+    for i in range(4):
+        if n_objs[i] > 0:
+            assert g[i].max() > 0.9
+
+
+def test_train_dataset_iterates(dataset):
+    args = _args(batch_size=2)
+    s = TrainSampler(dataset, args, mode="train", seed=0)
+    ds = TrainDataset(s, args, seed=0, prefetch=2, workers=1)
+    try:
+        feats, labels = next(ds)
+        assert feats["images"].shape == (2, 64, 64, 3)
+        feats2, _ = next(ds)
+        assert not np.allclose(np.asarray(feats["images"]),
+                               np.asarray(feats2["images"]))
+    finally:
+        ds.close()
