@@ -1,0 +1,297 @@
+"""SPMD training loop: jitted train step over a data-parallel mesh.
+
+TPU-native redesign of the reference train path (reference
+core/estimator.py:490-619 _train_model_{default,distributed} +
+core/models.py:224-281 model_fn + core/solver.py:221-243):
+
+- ONE compiled train step: forward (bf16 activations) → loss (wsce/dice
+  composition, ops/losses.py) → grads → optimizer update at lr(step)*lr_scale.
+  Under pjit the batch is sharded over the mesh and XLA inserts the gradient
+  all-reduce over ICI (replacing MirroredStrategy+NCCL,
+  utils/distribution_utils.py:137-206).
+- BatchNorm batch statistics are computed over the GLOBAL batch (sync-BN):
+  with pjit, the mean over a sharded axis is a global reduction.  The
+  reference used per-replica BN (core/solver.py:236-241 UPDATE_OPS); sync-BN
+  is the strictly-better TPU equivalent (documented deviation).
+- The plateau LR controller runs on host and writes `lr_scale` into the train
+  state (no recompile; reference assigns a graph variable,
+  core/solver.py:246-254).
+- In-graph train metrics (<Class>/<Metric> keys) are returned every step like
+  the reference's logging contract (core/estimator.py:677-689).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from flax.core import FrozenDict
+
+from boxsegliver_tpu.ops import losses as losses_mod
+from boxsegliver_tpu.ops import metrics as metrics_mod
+from boxsegliver_tpu.parallel import mesh as mesh_mod
+from boxsegliver_tpu.train.checkpoint import CheckpointManager, warm_start
+from boxsegliver_tpu.train.hooks import (AverageMeter, BestKeeper,
+                                         ReduceLROnPlateau, SpeedLogger)
+from boxsegliver_tpu.train.solver import Solver
+
+logger = logging.getLogger("boxsegliver")
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    lr_scale: jnp.ndarray
+
+    def replace(self, **kw):  # struct.PyTreeNode already provides replace
+        return super().replace(**kw)
+
+
+def create_train_state(model, solver: Solver, sample_features: Dict,
+                       rng) -> TrainState:
+    variables = model.init({"params": rng, "dropout": rng}, sample_features,
+                           train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = solver.make_transform()
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        lr_scale=jnp.ones((), jnp.float32),
+    )
+
+
+def make_loss_fn(args, classes: Sequence[str]):
+    """Total loss = data loss (loss_type composition) + L2 regularization
+    (reference _build_loss, NetworksV2/UNet.py:120-135 + GUNet.py:394-413)."""
+    w_params = {}
+    if args.loss_weight_type == "numerical":
+        w_params["numeric_w"] = args.loss_numeric_w
+    elif args.loss_weight_type == "proportion":
+        w_params["proportion_decay"] = args.loss_proportion_decay
+    data_loss_fn = losses_mod.make_loss_fn(args.loss_type, args.loss_weight_type,
+                                           **w_params)
+    use_reg = args.optimizer.lower() != "adamw" and args.weight_decay_rate > 0
+
+    def loss_fn(logits, labels, params):
+        data_loss = data_loss_fn(logits, labels)
+        reg = (losses_mod.l2_regularization(params, args.weight_decay_rate,
+                                            getattr(args, "bias_decay", False))
+               if use_reg else 0.0)
+        return data_loss + reg, data_loss
+
+    return loss_fn
+
+
+def make_train_step(model, solver: Solver, args, classes: Sequence[str]):
+    """Returns jitted (state, features, labels, rng) -> (state, metrics)."""
+    tx = solver.make_transform()
+    loss_fn = make_loss_fn(args, classes)
+    metric_names = list(getattr(args, "metrics_train", ["Dice"]))
+
+    def step_fn(state: TrainState, features: Dict, labels, rng):
+        def compute_loss(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                logits, new_vars = model.apply(
+                    variables, features, train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+            else:
+                logits = model.apply(variables, features, train=True,
+                                     rngs={"dropout": rng})
+                new_vars = {}
+            total, data_loss = loss_fn(logits, labels, params)
+            return total, (logits, data_loss,
+                           new_vars.get("batch_stats", state.batch_stats))
+
+        (total, (logits, data_loss, new_bs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+
+        lr = solver.lr_fn(state.step, state.lr_scale)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+
+        probs = jax.nn.softmax(logits, axis=-1)
+        metrics = {"total_loss": total, "data_loss": data_loss,
+                   "learning_rate": lr}
+        metrics.update(metrics_mod.build_train_metrics(
+            probs, labels, classes, metric_names))
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_eval_step(model):
+    """Jittable forward returning softmax probs (reference predictions
+    contract '<Class>Prob', core/estimator.py:281-332)."""
+
+    def eval_fn(state: TrainState, features: Dict):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = model.apply(variables, features, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return eval_fn
+
+
+class Trainer:
+    """Owns mesh, state, compiled steps, checkpointing, and host hooks
+    (the reference CustomEstimator.train loop, core/estimator.py:234-261 +
+    _train_with_estimator_spec:646-758)."""
+
+    def __init__(self, model, args, classes: Sequence[str],
+                 sample_features: Dict, num_replicas: int = 0,
+                 save_ckpt_steps: int = 5000):
+        self.model = model
+        self.args = args
+        self.classes = list(classes)
+        self.mesh = mesh_mod.make_mesh(num_replicas)
+        mesh_mod.per_device_batch_size(args.batch_size, self.mesh.size)
+        self.solver = Solver(args)
+
+        rng = jax.random.PRNGKey(getattr(args, "seed", 1234))
+        self.rng, init_rng = jax.random.split(rng)
+        with jax.default_device(jax.devices()[0]):
+            state = create_train_state(self.model, self.solver,
+                                       sample_features, init_rng)
+        # replicate state across the mesh
+        rep = mesh_mod.replicated_sharding(self.mesh)
+        self.state = jax.device_put(state, rep)
+
+        data = mesh_mod.batch_sharding(self.mesh)
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.solver, args, self.classes),
+            in_shardings=(rep, data, data, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,))
+        self._eval_step = jax.jit(
+            make_eval_step(self.model),
+            in_shardings=(rep, data), out_shardings=data)
+
+        self.ckpt = CheckpointManager(args.model_dir,
+                                      save_interval_steps=save_ckpt_steps)
+        self.loss_meter = AverageMeter()
+        self.speed = SpeedLogger(log_step=args.log_step)
+        self.plateau: Optional[ReduceLROnPlateau] = None
+        if args.learning_policy == "plateau":
+            self.plateau = ReduceLROnPlateau(
+                args.model_dir,
+                lr_patience=args.lr_patience,
+                tr_patience=getattr(args, "tr_patience", 0) or args.lr_patience * 2,
+                min_delta=args.min_delta,
+                decay_rate=args.lr_decay_rate,
+                min_lr_scale=args.lr_end / args.learning_rate)
+            self.state = self.state.replace(
+                lr_scale=jnp.asarray(self.plateau.lr_scale, jnp.float32))
+        self.best_keeper: Optional[BestKeeper] = None
+        if getattr(args, "save_best", False) and getattr(args, "primary_metric", None):
+            self.best_keeper = BestKeeper(
+                args.model_dir, args.primary_metric,
+                getattr(args, "secondary_metric", None),
+                save_interval=getattr(args, "save_interval", 0))
+
+    # -- resume ------------------------------------------------------------
+    def restore(self):
+        """Resume from the latest periodic checkpoint if present; apply
+        warm start otherwise (reference core/estimator.py:249-253 +
+        WarmStartSettings:649-652)."""
+        self.state, step = self.ckpt.restore(self.state)
+        if step == 0 and getattr(self.args, "warm_start_from", None):
+            self.state = warm_start(self.state, self.args.warm_start_from)
+            logger.info("Warm started from %s", self.args.warm_start_from)
+        return int(step)
+
+    @property
+    def global_step(self) -> int:
+        return int(self.state.step)
+
+    # -- train -------------------------------------------------------------
+    def train_step(self, features: Dict, labels) -> Dict[str, float]:
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.state, metrics = self._train_step(self.state, features, labels,
+                                               step_rng)
+        return metrics
+
+    def train(self, dataset, max_steps: int, eval_fn=None,
+              batches_per_epoch: Optional[int] = None):
+        """Main loop: metrics fetching is pipelined one step behind execution
+        so the host never blocks the device (reference hot loop,
+        core/estimator.py:738-758).
+
+        eval_fn(trainer) -> metrics dict, called every batches_per_epoch steps
+        (the reference's eval-per-epoch EvaluatorHook, core/hooks.py:79-191).
+        """
+        start = self.global_step
+        if start >= max_steps:
+            logger.info("Skipping training since max_steps has already saved.")
+            return
+        bpe = batches_per_epoch or self.args.batches_per_epoch
+        pending = None  # (step_number, metrics) one step behind
+        for features, labels in iter(dataset):
+            metrics = self.train_step(features, labels)
+            step = self.global_step  # host value of completed step
+
+            if pending is not None:
+                self._after_step(*pending, eval_fn=None)
+            pending = (step, metrics)
+
+            if step % bpe == 0 and eval_fn is not None:
+                # epoch boundary: drain pending then run inline eval
+                self._after_step(*pending, eval_fn=None)
+                pending = None
+                self._run_eval(eval_fn, step)
+            if step >= max_steps or (self.plateau and self.plateau.should_stop()):
+                break
+        if pending is not None:
+            self._after_step(*pending, eval_fn=None)
+        self.ckpt.save(self.global_step, self.state)
+
+    def _after_step(self, step: int, metrics, eval_fn=None):
+        loss = float(metrics["total_loss"])
+        if not np.isfinite(loss):
+            raise FloatingPointError(
+                f"NaN/Inf loss at step {step}")  # reference NanTensorHook
+        self.loss_meter.update(loss)
+        lr = float(metrics["learning_rate"])
+        if self.plateau is not None:
+            new_scale = self.plateau.step(step, self.loss_meter.avg, lr)
+            if new_scale is not None:
+                self.state = self.state.replace(
+                    lr_scale=jnp.asarray(new_scale, jnp.float32))
+                logger.info("*** Decay learning rate, scale = %.3g", new_scale)
+        log_vals = {"loss": loss, "loss_mean": self.loss_meter.avg,
+                    "learning_rate": lr}
+        for k, v in metrics.items():
+            if "/" in k:
+                log_vals[k] = float(v)
+        self.speed.maybe_log(step, log_vals)
+        if step % self.args.log_step == 0:
+            self.loss_meter.reset()  # periodic reset (estimator.py:657-675)
+        self.ckpt.maybe_save(step, self.state)
+
+    def _run_eval(self, eval_fn, step: int):
+        results = eval_fn(self)
+        if results and self.best_keeper is not None:
+            self.best_keeper.update(
+                step, results,
+                save_cb=lambda tag: self.ckpt.save_best(self.state, tag))
+
+    # -- predict -----------------------------------------------------------
+    def predict(self, features: Dict):
+        """Softmax probabilities for one device-ready feature batch."""
+        return self._eval_step(self.state, features)

@@ -16,3 +16,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The environment pre-sets JAX_PLATFORMS=axon (real-TPU tunnel) which can win
+# over the env var above; force the config flag too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
