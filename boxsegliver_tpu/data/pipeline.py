@@ -28,11 +28,21 @@ def _process_one(window, label, crop_hw, clip, pad_mask, key,
                  centers, stddevs, n_objs, context,
                  *, im_h: int, im_w: int, noise_scale: float, random_flip: int,
                  use_spatial: bool, min_std: float):
-    """Per-sample device processing (vmapped). Shapes are static:
-    window [C, Hm, Wm] uint16, label [Hm, Wm] uint8."""
-    img = jnp.transpose(window, (1, 2, 0)).astype(jnp.float32)     # [Hm, Wm, C]
-    img, lab = image_ops.crop_and_resize_2d(
-        img, label, 0.0, 0.0, crop_hw[0], crop_hw[1], im_h, im_w)
+    """Per-sample device processing (vmapped).
+
+    Two input layouts (see sampler.TrainSampler resize_on_host):
+    - host-resized: window [H, W, C] uint16 already at target size (crop_hw
+      is None) — skip the device resize.
+    - device-resize: window [C, Hm, Wm] uint16 max-zoom buffer + crop_hw
+      scalars → crop_and_resize_2d on device.
+    """
+    if crop_hw is None:
+        img = window.astype(jnp.float32)
+        lab = label
+    else:
+        img = jnp.transpose(window, (1, 2, 0)).astype(jnp.float32)  # [Hm, Wm, C]
+        img, lab = image_ops.crop_and_resize_2d(
+            img, label, 0.0, 0.0, crop_hw[0], crop_hw[1], im_h, im_w)
     lab = lab.astype(jnp.int32)
 
     # window-level clip-normalize (input_pipeline_g.py:362-363)
@@ -68,13 +78,14 @@ def _process_one(window, label, crop_hw, clip, pad_mask, key,
     return feats, lab
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "im_h", "im_w", "noise_scale", "random_flip", "use_spatial", "min_std"))
-def process_train_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
-                        im_w: int, noise_scale: float, random_flip: int,
-                        use_spatial: bool, min_std: float):
-    """Whole-batch jitted processing: returns (features dict, labels[bs,h,w])."""
-    bs = batch["window"].shape[0]
+def _process_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
+                   im_w: int, noise_scale: float, random_flip: int,
+                   use_spatial: bool, min_std: float):
+    """Whole-batch processing body: returns (features dict, labels[bs,h,w])."""
+    host_resized = "image" in batch
+    window = batch["image"] if host_resized else batch["window"]
+    crop_hw = None if host_resized else batch["crop_hw"]
+    bs = window.shape[0]
     keys = jax.random.split(key, bs)
     centers = batch.get("centers", jnp.full((bs, 1, 2), -1.0, jnp.float32))
     stddevs = batch.get("stddevs", jnp.ones((bs, 1, 2), jnp.float32))
@@ -84,12 +95,32 @@ def process_train_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
     fn = functools.partial(_process_one, im_h=im_h, im_w=im_w,
                            noise_scale=noise_scale, random_flip=random_flip,
                            use_spatial=use_spatial, min_std=min_std)
-    in_axes = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0 if context is not None else None)
+    in_axes = (0, 0, None if host_resized else 0, 0, 0, 0, 0, 0, 0,
+               0 if context is not None else None)
     feats, labels = jax.vmap(fn, in_axes=in_axes)(
-        batch["window"], batch["label"], batch["crop_hw"], batch["clip"],
+        window, batch["label"], crop_hw, batch["clip"],
         batch["pad_mask"], keys, centers, stddevs, n_objs, context)
     feats["names"] = batch["names"]
     return feats, labels
+
+
+process_train_batch = functools.partial(jax.jit, static_argnames=(
+    "im_h", "im_w", "noise_scale", "random_flip", "use_spatial",
+    "min_std"))(_process_batch)
+
+
+def make_preprocess_fn(args):
+    """(raw_batch, key) -> (features, labels) closure for fusing the device
+    augmentation into the train step (trainer.make_train_step preprocess_fn):
+    one compiled executable does augment + forward + backward per step."""
+    def fn(batch, key):
+        return _process_batch(
+            batch, key, im_h=args.im_height, im_w=args.im_width,
+            noise_scale=float(args.noise_scale),
+            random_flip=int(args.random_flip),
+            use_spatial=bool(getattr(args, "use_spatial", False)),
+            min_std=float(getattr(args, "min_std", 2.0)))
+    return fn
 
 
 class TrainDataset:

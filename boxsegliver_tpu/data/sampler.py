@@ -97,10 +97,20 @@ def _crop_offset(obj_bb, crop, size_ax) -> int:
 
 
 class TrainSampler:
-    """Infinite class-balanced batch sampler over prepared cases."""
+    """Infinite class-balanced batch sampler over prepared cases.
+
+    resize_on_host=True (default) resamples the zoom window to the target
+    size with cv2 (C++ SIMD, releases the GIL) so the device receives exactly
+    [bs, H, W, C] — half the transfer bytes and no gather-based resize in the
+    compiled step.  This mirrors the reference's split (tf.data did
+    crop+resize on CPU, input_pipeline_g.py:358-371).  resize_on_host=False
+    ships the fixed max-zoom window + crop scalars for the device-side
+    crop_and_resize_2d path instead.
+    """
 
     def __init__(self, dataset_dir, args, mode: str = "train",
-                 pids: Optional[Sequence[int]] = None, seed: Optional[int] = None):
+                 pids: Optional[Sequence[int]] = None, seed: Optional[int] = None,
+                 resize_on_host: bool = True):
         self.root = Path(dataset_dir)
         self.args = args
         metas = load_meta(self.root)
@@ -124,6 +134,7 @@ class TrainSampler:
         self.zoom = tuple(args.zoom_scale)
         self.max_crop = (int(math.ceil(self.target[0] * self.zoom[1])),
                          int(math.ceil(self.target[1] * self.zoom[1])))
+        self.resize_on_host = resize_on_host
         self.use_context = bool(getattr(args, "use_context", False))
         self.use_spatial = bool(getattr(args, "use_spatial", False))
         self.max_objs = int(getattr(args, "max_objs", 8))
@@ -182,6 +193,32 @@ class TrainSampler:
                                           off_x:off_x + crop[1]]
         return win, lab_win, pad_mask
 
+    def _resized_window(self, pid: int, sid: int, off_y: int, off_x: int,
+                        crop: Tuple[int, int]):
+        """Host-resized [H, W, C] uint16 stack + [H, W] uint8 label."""
+        import cv2
+
+        vol = self.vols.volume(pid)
+        lab = self.vols.label(pid)
+        depth = vol.shape[0]
+        ch = self.channel
+        lh = (ch - 1) // 2
+        h, w = self.target
+        win = np.zeros((crop[0], crop[1], ch), np.uint16)
+        pad_mask = np.zeros((ch,), np.float32)
+        for k in range(ch):
+            z = sid - lh + k
+            if 0 <= z < depth:
+                win[..., k] = vol[z, off_y:off_y + crop[0], off_x:off_x + crop[1]]
+                pad_mask[k] = 1.0
+        img = cv2.resize(win, (w, h), interpolation=cv2.INTER_LINEAR)
+        if ch == 1:
+            img = img[..., None]
+        lab_crop = np.ascontiguousarray(
+            lab[sid, off_y:off_y + crop[0], off_x:off_x + crop[1]])
+        lab_out = cv2.resize(lab_crop, (w, h), interpolation=cv2.INTER_NEAREST)
+        return img, lab_out, pad_mask
+
     def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         args = self.args
         target = np.asarray(self.target, np.float32)
@@ -192,14 +229,24 @@ class TrainSampler:
         ci2 = self.rng.choice(len(self.cases), batch_size - force_tumor, True)
         ci = np.concatenate([ci1, ci2])
 
-        out = {
-            "window": np.zeros((batch_size, self.channel) + self.max_crop, np.uint16),
-            "label": np.zeros((batch_size,) + self.max_crop, np.uint8),
-            "crop_hw": np.zeros((batch_size, 2), np.float32),
+        if self.resize_on_host:
+            out = {
+                "image": np.zeros((batch_size,) + self.target + (self.channel,),
+                                  np.uint16),
+                "label": np.zeros((batch_size,) + self.target, np.uint8),
+            }
+        else:
+            out = {
+                "window": np.zeros((batch_size, self.channel) + self.max_crop,
+                                   np.uint16),
+                "label": np.zeros((batch_size,) + self.max_crop, np.uint8),
+                "crop_hw": np.zeros((batch_size, 2), np.float32),
+            }
+        out.update({
             "clip": np.zeros((batch_size, 2), np.float32),
             "pad_mask": np.zeros((batch_size, self.channel), np.float32),
             "names": np.zeros((batch_size,), np.int32),
-        }
+        })
         if self.use_context:
             out["context"] = np.zeros((batch_size, self.context_len), np.float32)
         if self.use_spatial:
@@ -238,11 +285,15 @@ class TrainSampler:
             off_y = _crop_offset((obj_bb[0], obj_bb[2]), crop[0], size[1])
             off_x = _crop_offset((obj_bb[1], obj_bb[3]), crop[1], size[2])
 
-            win, lab, pad = self._stack_window(pid, sid, off_y, off_x, crop)
-            out["window"][j] = win
+            if self.resize_on_host:
+                img, lab, pad = self._resized_window(pid, sid, off_y, off_x, crop)
+                out["image"][j] = img
+            else:
+                win, lab, pad = self._stack_window(pid, sid, off_y, off_x, crop)
+                out["window"][j] = win
+                out["crop_hw"][j] = crop
             out["label"][j] = lab
             out["pad_mask"][j] = pad
-            out["crop_hw"][j] = crop
             out["names"][j] = pid
             if getattr(args, "random_window", False):
                 out["clip"][j] = (random.randint(10, 50) * IM_SCALE,

@@ -92,13 +92,24 @@ def make_loss_fn(args, classes: Sequence[str]):
     return loss_fn
 
 
-def make_train_step(model, solver: Solver, args, classes: Sequence[str]):
-    """Returns jitted (state, features, labels, rng) -> (state, metrics)."""
+def make_train_step(model, solver: Solver, args, classes: Sequence[str],
+                    preprocess_fn=None):
+    """Returns jitted (state, features, labels, rng) -> (state, metrics).
+
+    preprocess_fn(raw_batch, rng) -> (features, labels), when given, fuses the
+    device-side augmentation (pipeline.process_train_batch) into the SAME
+    compiled step — one dispatch per training step, XLA overlaps the
+    host->device transfer of the next raw batch with compute.  In that mode
+    call the step as step_fn(state, raw_batch, None, rng).
+    """
     tx = solver.make_transform()
     loss_fn = make_loss_fn(args, classes)
     metric_names = list(getattr(args, "metrics_train", ["Dice"]))
 
     def step_fn(state: TrainState, features: Dict, labels, rng):
+        if preprocess_fn is not None:
+            rng, prep_rng = jax.random.split(rng)
+            features, labels = preprocess_fn(features, prep_rng)
         def compute_loss(params):
             variables = {"params": params}
             if state.batch_stats:

@@ -156,7 +156,7 @@ def dataset(tmp_path_factory):
 
 def test_sampler_shapes_and_balance(dataset):
     args = _args()
-    s = TrainSampler(dataset, args, mode="train", seed=0)
+    s = TrainSampler(dataset, args, mode="train", seed=0, resize_on_host=False)
     b = s.sample_batch(4)
     assert b["window"].shape == (4, 3, 80, 80)  # ceil(64*1.25)=80
     assert b["label"].shape == (4, 80, 80)
@@ -167,9 +167,20 @@ def test_sampler_shapes_and_balance(dataset):
     assert n_tumor >= 1  # crop may clip the tumor, but typically >= 2
 
 
+def test_sampler_host_resize_mode(dataset):
+    args = _args()
+    s = TrainSampler(dataset, args, mode="train", seed=0)  # default: host resize
+    b = s.sample_batch(4)
+    assert b["image"].shape == (4, 64, 64, 3)
+    assert b["image"].dtype == np.uint16
+    assert b["label"].shape == (4, 64, 64)
+    assert set(b["label"].flatten().tolist()) <= {0, 1, 2}
+    assert b["pad_mask"].max() == 1.0
+
+
 def test_sampler_guides(dataset):
     args = _args(use_spatial=True, use_context=True)
-    s = TrainSampler(dataset, args, mode="train", seed=0)
+    s = TrainSampler(dataset, args, mode="train", seed=0, resize_on_host=False)
     b = s.sample_batch(4)
     assert b["centers"].shape == (4, 8, 2)
     assert b["context"].shape == (4, 200)
