@@ -1,0 +1,186 @@
+"""Main CLI: train / eval / infer for the UNet + G-Net families.
+
+Mirrors the reference entry points (entry/main.py:45-208, entry/main_g.py:
+45-228): a positional task selects the dataset pairing, then the composed
+flag surface drives model, solver, pipeline, and evaluator construction.
+
+    python -m boxsegliver_tpu.cli.main liver --mode train --tag 001_unet \
+        --model UNet --classes Liver Tumor --test_fold 2 ...
+
+Tasks: liver | nf | synthetic (synthetic auto-generates a hermetic dataset;
+the reference's liver/nf split maps to dataset directory conventions here —
+all pipelines run from the npy cache + meta.json produced by
+`python -m boxsegliver_tpu.cli.prepare`).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from boxsegliver_tpu import config as config_mod
+from boxsegliver_tpu.utils.logger import setup_logger
+
+TASKS = ("liver", "nf", "synthetic")
+
+
+def get_args(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    task = "synthetic"
+    if argv and not argv[0].startswith("-"):
+        task = argv.pop(0)
+    if task not in TASKS:
+        raise SystemExit(f"Unknown task {task!r}; choose from {TASKS}")
+    parser = config_mod.build_parser()
+    args = parser.parse_args(argv)
+    config_mod.check_args(args, parser)
+    config_mod.fill_default_args(args)
+    args.task = task
+    if args.dataset == "synthetic" and task != "synthetic":
+        args.dataset = {"liver": "LiTS", "nf": "NF"}[task]
+    return args
+
+
+def resolve_dataset_dir(args) -> Path:
+    if args.task == "synthetic" or args.dataset == "synthetic":
+        root = Path(args.data_root) / "synthetic"
+        if not (root / "meta.json").exists():
+            from boxsegliver_tpu.data.synthetic import make_synthetic_dataset
+            make_synthetic_dataset(root, n_cases=4, shape=(24, 256, 256),
+                                   k_split=args.k_folds)
+        return root
+    return Path(args.data_root) / args.dataset
+
+
+def build_feature_template(args):
+    """Sample features matching the pipeline outputs, for model init."""
+    import numpy as np
+    feats = {"images": np.zeros(
+        (args.batch_size, args.im_height, args.im_width, args.im_channel),
+        np.float32)}
+    if getattr(args, "use_spatial", False):
+        feats["sp_guide"] = np.full(
+            (args.batch_size, args.im_height, args.im_width, 1), 0.5, np.float32)
+    if getattr(args, "use_context", False):
+        raw = args.context_list or ["hist", "200"]
+        length = sum(int(raw[i + 1]) for i in range(0, len(raw), 2))
+        feats["context"] = np.zeros((args.batch_size, length), np.float32)
+    return feats
+
+
+def build_trainer(args, dataset_dir):
+    import jax.numpy as jnp
+
+    from boxsegliver_tpu.models import build_model, get_model_params
+    from boxsegliver_tpu.train.trainer import Trainer
+
+    params = get_model_params(args)
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    model = build_model(params["model"], args=args,
+                        model_kwargs=params["model_kwargs"], dtype=dtype)
+    classes = ["Background"] + list(args.classes)
+    feats = build_feature_template(args)
+    return Trainer(model, args, classes, feats,
+                   num_replicas=getattr(args, "num_replicas", 0))
+
+
+def main(argv=None):
+    args = get_args(argv)
+    logger = setup_logger(args.model_dir, args.mode, args.tag, args.out_file)
+    logger.info("Task %s, mode %s, model_dir %s", args.task, args.mode,
+                args.model_dir)
+    dataset_dir = resolve_dataset_dir(args)
+
+    if args.mode == "train":
+        train(args, dataset_dir, logger)
+    elif args.mode in ("eval", "infer"):
+        evaluate(args, dataset_dir, logger, do_eval=args.mode == "eval")
+    elif args.mode == "export":
+        from boxsegliver_tpu.cli.export import export_model
+        export_model(args, dataset_dir)
+    else:
+        raise SystemExit(f"Unsupported mode {args.mode}")
+
+
+def train(args, dataset_dir, logger):
+    from boxsegliver_tpu.data.meta import load_meta
+    from boxsegliver_tpu.data.kfold import (LITS_SEED, read_or_create_k_folds,
+                                            train_test_split)
+    from boxsegliver_tpu.data.pipeline import TrainDataset
+    from boxsegliver_tpu.data.sampler import TrainSampler
+    from boxsegliver_tpu.evaluators.volume import (EvaluateVolume,
+                                                   make_inline_eval_fn)
+
+    trainer = build_trainer(args, dataset_dir)
+    start = trainer.restore()
+    logger.info("Starting at global step %d (mesh size %d)", start,
+                trainer.mesh.size)
+
+    sampler = TrainSampler(dataset_dir, args, mode="train",
+                           seed=args.seed)
+    dataset = TrainDataset(sampler, args, seed=args.seed)
+
+    eval_fn = None
+    if args.eval_per_epoch:
+        metas = load_meta(dataset_dir)
+        folds = read_or_create_k_folds(
+            Path(dataset_dir) / "k_folds.txt", [m["PID"] for m in metas],
+            k_split=args.k_folds, seed=LITS_SEED)
+        _, test_pids = train_test_split(folds, args.test_fold)
+        test_pids = set(int(p) for p in test_pids)
+        eval_metas = [m for m in metas if int(m["PID"]) in test_pids]
+        evaluator = EvaluateVolume(args, dataset_dir,
+                                   ["Background"] + list(args.classes))
+        eval_fn = make_inline_eval_fn(evaluator, eval_metas,
+                                      max_cases=args.eval_num)
+
+    max_steps = args.num_of_steps or args.num_of_total_steps
+    try:
+        trainer.train(dataset, max_steps=max_steps, eval_fn=eval_fn)
+    finally:
+        dataset.close()
+        trainer.ckpt.close()
+    logger.info("Training finished at step %d", trainer.global_step)
+
+
+def evaluate(args, dataset_dir, logger, do_eval=True):
+    from boxsegliver_tpu.data.meta import load_meta
+    from boxsegliver_tpu.data.kfold import (LITS_SEED, read_or_create_k_folds,
+                                            train_test_split)
+    from boxsegliver_tpu.evaluators.volume import EvaluateVolume
+
+    trainer = build_trainer(args, dataset_dir)
+    # checkpoint selection (reference evaluator_liver.py:155-162 +
+    # --eval_final / --ckpt_path / best default)
+    if getattr(args, "ckpt_path", None):
+        from boxsegliver_tpu.train.checkpoint import warm_start
+        trainer.state = warm_start(trainer.state, args.ckpt_path)
+        logger.info("Restored explicit checkpoint %s", args.ckpt_path)
+    elif getattr(args, "eval_final", False) or not trainer.ckpt.has_best():
+        step = trainer.restore()
+        logger.info("Restored final checkpoint at step %d", step)
+    else:
+        restored = trainer.ckpt.restore_best(trainer.state)
+        if restored is not None:
+            trainer.state = restored
+            logger.info("Restored best checkpoint")
+
+    metas = load_meta(dataset_dir)
+    folds = read_or_create_k_folds(
+        Path(dataset_dir) / "k_folds.txt", [m["PID"] for m in metas],
+        k_split=args.k_folds, seed=LITS_SEED)
+    _, test_pids = train_test_split(folds, args.test_fold)
+    test_pids = set(int(p) for p in test_pids)
+    eval_metas = [m for m in metas if int(m["PID"]) in test_pids]
+
+    evaluator = EvaluateVolume(args, dataset_dir,
+                               ["Background"] + list(args.classes))
+    results = evaluator.run(trainer.predict, eval_metas,
+                            save=args.save_predict or not do_eval,
+                            do_eval=do_eval)
+    trainer.ckpt.close()
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Volume evaluator: jitted slice-batch forward → mirror-averaged probability
+reassembly → postprocess → 3D metrics / global dice → NIfTI/npz save.
+
+Re-implements the reference EvaluateVolume (evaluators/evaluator_liver.py:
+_predict_case:616-678, _postprocess:680-702, _run_actual:906-996,
+maybe_save_case:998-1026, run:704-766) in host/device split form: the device
+runs ONE jitted softmax forward on fixed-shape batches; all ragged volume
+bookkeeping (accumulation, un-crop, resize, connected components) is numpy on
+host.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from boxsegliver_tpu.data import nii as nii_kits
+from boxsegliver_tpu.evaluators.base import EvaluateBase
+from boxsegliver_tpu.evaluators.eval_loader import (EvalCase, load_eval_context,
+                                                    parse_case_eval,
+                                                    slice_batches)
+from boxsegliver_tpu.ops import array_kits
+from boxsegliver_tpu.ops.metrics import ConfusionMatrix
+from boxsegliver_tpu.ops.metrics3d import metric_3d
+
+logger = logging.getLogger("boxsegliver")
+
+_FLIPS = {1: (2,), 2: (1,), 3: (1, 2)}
+
+
+class EvaluateVolume(EvaluateBase):
+    """predict_fn: features dict [bs, h, w, c] → softmax probs [bs, h, w, nc]
+    (a Trainer.predict or any jitted forward)."""
+
+    def __init__(self, args, dataset_dir, classes: List[str],
+                 merge_tumor_to_liver: bool = True, largest: bool = True):
+        super().__init__(classes, list(args.metrics_eval),
+                         getattr(args, "primary_metric", None),
+                         getattr(args, "secondary_metric", None))
+        self.args = args
+        self.dataset_dir = Path(dataset_dir)
+        self.merge_tumor_to_liver = merge_tumor_to_liver
+        self.largest = largest
+        rf = getattr(args, "random_flip", 3)
+        self.mirror_div = (1 + bin(rf & 1).count("1") + bin(rf & 2).count("1")
+                           + (1 if rf & 3 == 3 else 0)) \
+            if getattr(args, "eval_mirror", False) else 1
+        self.context_list = None
+        if getattr(args, "use_context", False):
+            raw = getattr(args, "context_list", None) or ["hist", "200"]
+            self.context_list = [(raw[i], int(raw[i + 1]))
+                                 for i in range(0, len(raw), 2)]
+
+    # ------------------------------------------------------------------
+    # per-case prediction
+    # ------------------------------------------------------------------
+
+    def predict_case(self, predict_fn: Callable, case: EvalCase,
+                     sp_guide: Optional[np.ndarray] = None) -> np.ndarray:
+        """Mirror-averaged softmax volume [cz, ph, pw, nc] for one case
+        (reference _predict_case accumulation, evaluator_liver.py:642-656)."""
+        args = self.args
+        pshape = (args.im_height, args.im_width)
+        context = None
+        if self.context_list is not None:
+            context = load_eval_context(self.dataset_dir, case.pid,
+                                        self.context_list, args.hist_scale)
+        chunks: List[np.ndarray] = []
+        pads = 0
+        for batch in slice_batches(case, args.batch_size, pshape,
+                                   eval_mirror=getattr(args, "eval_mirror", False),
+                                   random_flip=getattr(args, "random_flip", 3),
+                                   context=context, sp_guide=sp_guide):
+            mirror = batch.pop("mirror")
+            pads = batch.pop("pads") or pads
+            feats = {k: v for k, v in batch.items() if k != "names"}
+            probs = np.asarray(predict_fn(feats), np.float32)
+            if mirror == 0:
+                chunks.append(probs / self.mirror_div)
+            else:
+                chunks[-1] += np.flip(probs, axis=_FLIPS[mirror]) / self.mirror_div
+        volume = np.concatenate(chunks, axis=0)
+        if pads:
+            volume = volume[:-pads]
+        return volume
+
+    # ------------------------------------------------------------------
+    # postprocess + metrics
+    # ------------------------------------------------------------------
+
+    def postprocess(self, volume, is_label: bool = False) -> Dict[str, np.ndarray]:
+        """Decouple classes, merge tumor→liver, largest-CC liver, mask tumor
+        FPs by liver (reference _postprocess, evaluator_liver.py:680-702)."""
+        if not isinstance(volume, dict):
+            out = {cls: volume == i + 1 for i, cls in enumerate(self.classes)}
+        else:
+            out = volume
+        if self.merge_tumor_to_liver and "Tumor" in out and "Liver" in out:
+            out["Liver"] = out["Liver"] + out["Tumor"]
+        if self.largest and "Liver" in out and not is_label:
+            out["Liver"] = array_kits.get_largest_component(out["Liver"], rank=3)
+            if self.merge_tumor_to_liver and "Tumor" in out:
+                out["Tumor"] = out["Tumor"] * out["Liver"].astype(out["Tumor"].dtype)
+        return out
+
+    @staticmethod
+    def _resize_pred_to_crop(pred: np.ndarray, cshape) -> np.ndarray:
+        """Nearest-resize [cz, ph, pw] class map back to the crop shape."""
+        import cv2
+        cz, tgt_h, tgt_w = pred.shape[0], cshape[0], cshape[1]
+        if pred.shape[1:] == (tgt_h, tgt_w):
+            return pred
+        out = np.empty((cz, tgt_h, tgt_w), pred.dtype)
+        for z in range(cz):
+            out[z] = cv2.resize(pred[z], (tgt_w, tgt_h),
+                                interpolation=cv2.INTER_NEAREST)
+        return out
+
+    def evaluate_case(self, case: EvalCase, probs: np.ndarray,
+                      accumulator: Optional[Dict] = None) -> Dict[str, float]:
+        """argmax → back to crop shape → postprocess → metric_3d + confusion
+        accumulation (reference _run_actual body, evaluator_liver.py:926-946)."""
+        pred = np.argmax(probs, axis=-1).astype(np.uint8)
+        pred = self._resize_pred_to_crop(pred, case.segmentation.shape[1:])
+        vols = self.postprocess(pred)
+        labs = self.postprocess(case.segmentation.astype(np.int32), is_label=True)
+        results = {}
+        for cls in self.classes:
+            if accumulator is not None:
+                conf = ConfusionMatrix(vols[cls].astype(int), labs[cls].astype(int))
+                accumulator[cls + "_tp"] += conf.tp
+                accumulator[cls + "_fp"] += conf.fp
+                accumulator[cls + "_fn"] += conf.fn
+            pairs = metric_3d(vols[cls], labs[cls], required=self.metrics_str,
+                              sampling=case.spacing)
+            for met, value in pairs.items():
+                results[f"{cls}/{met}"] = value
+        return results
+
+    # ------------------------------------------------------------------
+    # save
+    # ------------------------------------------------------------------
+
+    def save_case(self, case: EvalCase, volume: np.ndarray, save_path,
+                  dtype: str = "pred"):
+        """Un-crop pad to original shape → NIfTI (pred) or npz (prob)
+        (reference maybe_save_case, evaluator_liver.py:998-1026)."""
+        save_path = Path(save_path)
+        save_path.mkdir(parents=True, exist_ok=True)
+        z1, z2, y1, y2, x1, x2 = case.crop
+        d, h, w = case.oshape
+        pad = ((z1, d - z2), (y1, h - y2), (x1, w - x2))
+        if dtype == "pred":
+            pred = self._resize_pred_to_crop(volume, (y2 - y1, x2 - x1))
+            vols = self.postprocess(pred)
+            # reference saves the summed class map: liver=1, tumor voxels=2
+            # (maybe_save_case, evaluator_liver.py:1004-1016)
+            arr = np.zeros(pred.shape, np.uint8)
+            for cls in self.classes:
+                if cls in vols:
+                    arr += vols[cls].astype(np.uint8)
+            arr = np.pad(arr, pad, mode="constant")
+            out = save_path / f"predict-{case.pid}.nii.gz"
+            nii_kits.write_nii(arr, out, zooms=case.spacing)
+        else:
+            arr = np.pad(volume, pad + ((0, 0),), mode="constant")
+            out = save_path / f"{case.pid}.npz"
+            np.savez_compressed(out, arr)
+        logger.info("    ==> Save to %s", out)
+        return out
+
+    # ------------------------------------------------------------------
+    # main entry (reference run + _run_actual)
+    # ------------------------------------------------------------------
+
+    def run(self, predict_fn: Callable, case_metas: Iterable[Dict],
+            save: bool = False, save_path=None, do_eval: bool = True
+            ) -> Dict[str, float]:
+        args = self.args
+        self.clear_metrics()
+        accumulator: Dict[str, int] = defaultdict(int)
+        n = 0
+        skip = getattr(args, "eval_skip_num", 0)
+        limit = getattr(args, "eval_num", -1)
+        case_list = list(case_metas)[skip:]
+        for meta in case_list:
+            if 0 < limit <= n:
+                break
+            t0 = time.time()
+            case = parse_case_eval(meta, self.dataset_dir,
+                                   im_channel=args.im_channel,
+                                   parse_label=do_eval)
+            probs = self.predict_case(predict_fn, case)
+            results = {}
+            if do_eval:
+                results = self.evaluate_case(case, probs, accumulator)
+                self.append_metrics(results)
+            if save:
+                vol = (np.argmax(probs, -1).astype(np.uint8)
+                       if args.pred_type == "pred" else probs)
+                self.save_case(case, vol, save_path or
+                               Path(args.model_dir) / args.save_path,
+                               dtype=args.pred_type)
+            n += 1
+            msg = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
+            logger.info("Evaluate-%d case %s %s (%.3f s)", n, case.pid, msg,
+                        time.time() - t0)
+        results = self.mean_metrics()
+        if accumulator:
+            for cls in self.classes:
+                denom = (2 * accumulator[cls + "_tp"] + accumulator[cls + "_fn"]
+                         + accumulator[cls + "_fp"])
+                results["G" + cls + "Dice"] = (
+                    2 * accumulator[cls + "_tp"] / denom if denom else 0.0)
+        display = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
+        logger.info("----Process %d cases %s", n, display)
+        return results
+
+
+def make_inline_eval_fn(evaluator: EvaluateVolume, case_metas: List[Dict],
+                        max_cases: int = -1):
+    """eval_fn(trainer) for Trainer.train — epoch-end 3D eval on held-out
+    cases (reference EvaluatorHook + evaluate_online,
+    core/hooks.py:79-191 / core/estimator.py:334-357)."""
+    def eval_fn(trainer):
+        metas = case_metas if max_cases <= 0 else case_metas[:max_cases]
+        return evaluator.run(trainer.predict, metas, save=False, do_eval=True)
+    return eval_fn

@@ -1,0 +1,37 @@
+"""tic/toc timer (reference utils/timer.py:11-41)."""
+
+from __future__ import annotations
+
+import time
+
+
+class Timer:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.total_time = 0.0
+        self.calls = 0
+        self.start_time = 0.0
+        self.diff = 0.0
+
+    def tic(self):
+        self.start_time = time.time()
+
+    def toc(self, average: bool = True) -> float:
+        self.diff = time.time() - self.start_time
+        self.total_time += self.diff
+        self.calls += 1
+        return self.average_time if average else self.diff
+
+    @property
+    def average_time(self) -> float:
+        return self.total_time / self.calls if self.calls else 0.0
+
+    def __enter__(self):
+        self.tic()
+        return self
+
+    def __exit__(self, *exc):
+        self.toc()
+        return False
