@@ -175,9 +175,17 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
 
     evaluator = EvaluateVolume(args, dataset_dir,
                                ["Background"] + list(args.classes))
-    results = evaluator.run(trainer.predict, eval_metas,
-                            save=args.save_predict or not do_eval,
-                            do_eval=do_eval)
+    # spatial-guided models use the interactive guide-propagation evaluator
+    # (reference entry/main_g.py:224-227: run_g when --use_spatial)
+    if getattr(args, "use_spatial", False) and not getattr(args, "eval_no_sp",
+                                                           False):
+        results = evaluator.run_g(trainer.predict, eval_metas,
+                                  save=args.save_predict or not do_eval,
+                                  do_eval=do_eval)
+    else:
+        results = evaluator.run(trainer.predict, eval_metas,
+                                save=args.save_predict or not do_eval,
+                                do_eval=do_eval)
     trainer.ckpt.close()
     return results
 

@@ -175,6 +175,89 @@ class EvaluateVolume(EvaluateBase):
         return out
 
     # ------------------------------------------------------------------
+    # interactive guided eval (reference run_g + _predict_case_g,
+    # evaluator_liver.py:768-904)
+    # ------------------------------------------------------------------
+
+    def run_g(self, predict_fn: Callable, case_metas: Iterable[Dict],
+              prior: Optional[Dict] = None, save: bool = False,
+              save_path=None, do_eval: bool = True) -> Dict[str, float]:
+        """Interactive guided evaluation: Forward/Backward guide-propagation
+        sweeps merged by max.
+
+        prior: {pid_str: {sid_str: [{z, center, stddev}]}} — defaults to the
+        dataset's prior.json; --real_sp points at real user interactions
+        (reference input_pipeline_g.py:1217-1224).
+        """
+        import json
+
+        from boxsegliver_tpu.interactive.propagation import \
+            GuidePropagationLoader
+
+        args = self.args
+        if prior is None:
+            prior_file = Path(getattr(args, "real_sp", None) or
+                              self.dataset_dir / "prior.json")
+            prior = json.loads(Path(prior_file).read_text())
+
+        self.clear_metrics()
+        accumulator: Dict[str, int] = defaultdict(int)
+        n = 0
+        skip = getattr(args, "eval_skip_num", 0)
+        limit = getattr(args, "eval_num", -1)
+        tumor_id = (self.classes.index("Tumor") + 1 if "Tumor" in self.classes
+                    else len(self.classes))
+        for meta in list(case_metas)[skip:]:
+            if 0 < limit <= n:
+                break
+            t0 = time.time()
+            case = parse_case_eval(meta, self.dataset_dir,
+                                   im_channel=args.im_channel,
+                                   parse_label=do_eval)
+            context = None
+            if self.context_list is not None:
+                context = load_eval_context(self.dataset_dir, case.pid,
+                                            self.context_list, args.hist_scale)
+            loader = GuidePropagationLoader(case, prior.get(str(case.pid), {}),
+                                            args, context=context)
+            volumes = {}
+            for direction in ("Forward", "Backward"):
+                chunks = []
+                for idx in loader.sweep(direction):
+                    feats = loader.slice_features(idx)
+                    probs = np.asarray(predict_fn(feats), np.float32)
+                    merged = loader.merge_mirrors(probs)
+                    chunks.append(merged)
+                    loader.set_last_pred(
+                        (merged.argmax(-1) == tumor_id).astype(np.uint8))
+                volumes[direction] = np.stack(chunks, axis=0)
+            probs3d = np.maximum(volumes["Forward"], volumes["Backward"][::-1])
+            results = {}
+            if do_eval:
+                results = self.evaluate_case(case, probs3d, accumulator)
+                self.append_metrics(results)
+            if save:
+                vol = (np.argmax(probs3d, -1).astype(np.uint8)
+                       if args.pred_type == "pred" else probs3d)
+                self.save_case(case, vol, save_path or
+                               Path(args.model_dir) / args.save_path,
+                               dtype=args.pred_type)
+            n += 1
+            msg = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
+            logger.info("Evaluate-%d case %s %s (%.3f s)", n, case.pid, msg,
+                        time.time() - t0)
+        results = self.mean_metrics()
+        if accumulator:
+            for cls in self.classes:
+                denom = (2 * accumulator[cls + "_tp"] + accumulator[cls + "_fn"]
+                         + accumulator[cls + "_fp"])
+                results["G" + cls + "Dice"] = (
+                    2 * accumulator[cls + "_tp"] / denom if denom else 0.0)
+        display = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
+        logger.info("----Process %d cases %s", n, display)
+        return results
+
+    # ------------------------------------------------------------------
     # main entry (reference run + _run_actual)
     # ------------------------------------------------------------------
 

@@ -19,6 +19,7 @@ Citations are reference utils/array_kits.py lines:
 from __future__ import annotations
 
 import functools
+import math
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -354,3 +355,105 @@ def pad_moments(centers: List, stds: List, max_objs: int, ndim: int = 2):
         c[i] = centers[i]
         s[i] = stds[i]
     return c, s
+
+
+# ---------------------------------------------------------------------------
+# Guide-aware false-positive filtering (reference utils/array_kits.py:987-1139)
+# ---------------------------------------------------------------------------
+
+def xiaolinwu_line(x0: int, y0: int, x1: int, y1: int):
+    """Integer pixel chain of Xiaolin Wu's line between two points
+    (reference utils/array_kits.py:1078-1139; used by the guide-propagation
+    monotone-ascent test).  Returns (xs, ys, forward)."""
+    if x0 == x1 and y0 == y1:
+        raise ValueError(f"Must be different points, got ({x0},{y0}) twice")
+    steep = abs(y1 - y0) > abs(x1 - x0)
+    if steep:
+        x0, y0, x1, y1 = y0, x0, y1, x1
+    forward = True
+    if x0 > x1:
+        forward = False
+        x0, x1 = x1, x0
+        y0, y1 = y1, y0
+    dx, dy = x1 - x0, y1 - y0
+    gradient = dy / dx if dx else 1.0
+
+    xs, ys = [], []
+
+    def emit(px, py):
+        if steep:
+            xs.append(py)
+            ys.append(px)
+        else:
+            xs.append(px)
+            ys.append(py)
+
+    xend = round(x0)
+    yend = y0 + gradient * (xend - x0)
+    emit(xend, math.floor(yend))
+    intery = yend + gradient
+    xend2 = round(x1)
+    yend2 = y1 + gradient * (xend2 - x1)
+    for x in range(round(x0) + 1, xend2):
+        emit(x, math.floor(intery))
+        intery += gradient
+    emit(xend2, math.floor(yend2))
+    return xs, ys, forward
+
+
+def ascent_line(img: np.ndarray, x0: int, y0: int, x1: int, y1: int) -> bool:
+    """True when img values along the line (x0,y0)→(x1,y1) are monotonically
+    non-decreasing (reference EvalImage3DLoader.ascent_line,
+    input_pipeline_g.py:1498-1513)."""
+    xs, ys, forward = xiaolinwu_line(x0, y0, x1, y1)
+    if not forward:
+        xs, ys = xs[::-1], ys[::-1]
+    pre = img[ys[0], xs[0]]
+    for x, y in zip(xs[1:], ys[1:]):
+        cur = img[y, x]
+        if cur < pre:
+            return False
+        pre = cur
+    return True
+
+
+def find_tp_and_fp(result: np.ndarray, reference: np.ndarray,
+                   connectivity: int = 1):
+    """Split predicted objects into true positives (overlapping a reference
+    object) and false positives (reference utils/array_kits.py:987-1036).
+    Returns (tp_mask, fp_mask)."""
+    disc = ndi.generate_binary_structure(result.ndim, connectivity)
+    labeled, n = ndi.label(result, disc)
+    tp = np.zeros_like(result, bool)
+    fp = np.zeros_like(result, bool)
+    ref = reference.astype(bool)
+    for i in range(1, n + 1):
+        obj = labeled == i
+        if (obj & ref).any():
+            tp |= obj
+        else:
+            fp |= obj
+    return tp, fp
+
+
+def reduce_fp_with_guide(reference: np.ndarray, result: np.ndarray,
+                         guide: str = "first") -> np.ndarray:
+    """Keep only predicted 3D objects that intersect a reference object's
+    guide slice (first or middle slice of each reference object,
+    reference utils/array_kits.py:1038-1075)."""
+    disc = ndi.generate_binary_structure(3, connectivity=1)
+    labeled_result, num_res = ndi.label(result, structure=disc)
+    labeled_reference, num_ref = ndi.label(reference, structure=disc)
+
+    guided = set()
+    for n in range(num_ref):
+        obj_ref = labeled_reference == n + 1
+        indices = np.where(np.count_nonzero(obj_ref, axis=(1, 2)) > 0)[0]
+        if len(indices) == 0:
+            continue
+        idx = indices[0] if guide == "first" else indices[(len(indices) - 1) // 2]
+        found = np.unique(np.clip(obj_ref[idx], 0, 1) * labeled_result[idx])
+        guided.update(int(v) for v in found if v > 0)
+
+    out = np.isin(labeled_result, sorted(guided)) & (labeled_result > 0)
+    return out.astype(result.dtype)
