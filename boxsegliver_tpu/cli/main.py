@@ -52,9 +52,24 @@ def resolve_dataset_dir(args) -> Path:
     return Path(args.data_root) / args.dataset
 
 
+def is_3d(args) -> bool:
+    return args.model == "UNet3D"
+
+
 def build_feature_template(args):
     """Sample features matching the pipeline outputs, for model init."""
     import numpy as np
+    if is_3d(args):
+        depth = args.im_depth if args.im_depth > 0 else 8
+        feats = {"images": np.zeros(
+            (args.batch_size, depth, args.im_height, args.im_width, 1),
+            np.float32)}
+        if getattr(args, "use_spatial", False):
+            gc = int(getattr(args, "guide_channel", 2))
+            feats["sp_guide"] = np.zeros(
+                (args.batch_size, depth, args.im_height, args.im_width, gc),
+                np.float32)
+        return feats
     feats = {"images": np.zeros(
         (args.batch_size, args.im_height, args.im_width, args.im_channel),
         np.float32)}
@@ -116,9 +131,15 @@ def train(args, dataset_dir, logger):
     logger.info("Starting at global step %d (mesh size %d)", start,
                 trainer.mesh.size)
 
-    sampler = TrainSampler(dataset_dir, args, mode="train",
-                           seed=args.seed)
-    dataset = TrainDataset(sampler, args, seed=args.seed)
+    if is_3d(args):
+        from boxsegliver_tpu.data.pipeline3d import make_preprocess_fn_3d
+        from boxsegliver_tpu.data.sampler3d import Sampler3D
+        sampler = Sampler3D(dataset_dir, args, mode="train", seed=args.seed)
+        dataset = TrainDataset(sampler, args, seed=args.seed,
+                               process_fn=make_preprocess_fn_3d(args))
+    else:
+        sampler = TrainSampler(dataset_dir, args, mode="train", seed=args.seed)
+        dataset = TrainDataset(sampler, args, seed=args.seed)
 
     eval_fn = None
     if args.eval_per_epoch:
@@ -129,10 +150,22 @@ def train(args, dataset_dir, logger):
         _, test_pids = train_test_split(folds, args.test_fold)
         test_pids = set(int(p) for p in test_pids)
         eval_metas = [m for m in metas if int(m["PID"]) in test_pids]
-        evaluator = EvaluateVolume(args, dataset_dir,
+        if is_3d(args):
+            from boxsegliver_tpu.evaluators.volume3d import EvaluateVolume3D
+            ev3 = EvaluateVolume3D(args, dataset_dir,
                                    ["Background"] + list(args.classes))
-        eval_fn = make_inline_eval_fn(evaluator, eval_metas,
-                                      max_cases=args.eval_num)
+            metas_cap = (eval_metas if args.eval_num <= 0
+                         else eval_metas[:args.eval_num])
+
+            def eval_fn(trainer):
+                return ev3.run(
+                    lambda f: trainer.predict(_with_blank_guide(args, f)),
+                    metas_cap)
+        else:
+            evaluator = EvaluateVolume(args, dataset_dir,
+                                       ["Background"] + list(args.classes))
+            eval_fn = make_inline_eval_fn(evaluator, eval_metas,
+                                          max_cases=args.eval_num)
 
     max_steps = args.num_of_steps or args.num_of_total_steps
     try:
@@ -141,6 +174,16 @@ def train(args, dataset_dir, logger):
         dataset.close()
         trainer.ckpt.close()
     logger.info("Training finished at step %d", trainer.global_step)
+
+
+def _with_blank_guide(args, feats):
+    """UNet3D eval without interactions: zero click guides
+    (reference threed_script eval defaults)."""
+    import numpy as np
+    if getattr(args, "use_spatial", False) and "sp_guide" not in feats:
+        shape = feats["images"].shape[:-1] + (int(args.guide_channel),)
+        feats = dict(feats, sp_guide=np.zeros(shape, np.float32))
+    return feats
 
 
 def evaluate(args, dataset_dir, logger, do_eval=True):
@@ -172,6 +215,22 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
     _, test_pids = train_test_split(folds, args.test_fold)
     test_pids = set(int(p) for p in test_pids)
     eval_metas = [m for m in metas if int(m["PID"]) in test_pids]
+
+    if is_3d(args):
+        from boxsegliver_tpu.evaluators.volume3d import (EvaluateVolume3D,
+                                                         make_volume_predict)
+        from boxsegliver_tpu.parallel import make_mesh
+        ev3 = EvaluateVolume3D(args, dataset_dir,
+                               ["Background"] + list(args.classes))
+        z_shards = getattr(args, "z_shards", 0)
+        if z_shards and z_shards > 1 and args.im_depth <= 0:
+            predict = make_volume_predict(trainer.model, trainer.state,
+                                          make_mesh(z_shards), z_shards)
+        else:
+            predict = lambda f: trainer.predict(_with_blank_guide(args, f))
+        results = ev3.run(predict, eval_metas, do_eval=do_eval)
+        trainer.ckpt.close()
+        return results
 
     evaluator = EvaluateVolume(args, dataset_dir,
                                ["Background"] + list(args.classes))

@@ -225,6 +225,15 @@ def add_pipeline_arguments(parser: argparse.ArgumentParser):
                        help="Interactive guide channels (1 = fg-bg, 2 = both)")
     group.add_argument("--max_objs", type=int, default=8,
                        help="Static padding size for per-slice guide objects")
+    group.add_argument("--stddev", type=float, default=3.0,
+                       help="Click-guide Gaussian stddev (3D pipelines)")
+    group.add_argument("--local_enhance", action="store_true",
+                       help="Gaussian click guides (default Euclidean, "
+                            "NF 3D pipeline)")
+    group.add_argument("--z_shards", type=int, default=0,
+                       help="Shard whole-volume 3D eval over the depth axis "
+                            "across this many devices (0 = off; new TPU "
+                            "capability, SURVEY.md §5.7)")
 
 
 def add_evaluator_arguments(parser: argparse.ArgumentParser):

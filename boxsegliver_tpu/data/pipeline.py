@@ -129,10 +129,14 @@ class TrainDataset:
     reference input_pipeline_g.py:756-766)."""
 
     def __init__(self, sampler, args, seed: int = 0, prefetch: int = 4,
-                 workers: Optional[int] = None):
+                 workers: Optional[int] = None, process_fn=None):
+        """process_fn(raw_batch, key) -> (features, labels); defaults to the
+        2D process_train_batch.  Pass pipeline3d.make_preprocess_fn_3d(args)
+        (jitted) for the 3D path."""
         self.sampler = sampler
         self.args = args
         self.batch_size = args.batch_size
+        self.process_fn = jax.jit(process_fn) if process_fn is not None else None
         self.key = jax.random.PRNGKey(seed)
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
@@ -168,8 +172,11 @@ class TrainDataset:
         batch = self._q.get()
         self.key, sub = jax.random.split(self.key)
         args = self.args
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.process_fn is not None:
+            return self.process_fn(device_batch, sub)
         return process_train_batch(
-            {k: jnp.asarray(v) for k, v in batch.items()}, sub,
+            device_batch, sub,
             im_h=args.im_height, im_w=args.im_width,
             noise_scale=float(args.noise_scale),
             random_flip=int(args.random_flip),

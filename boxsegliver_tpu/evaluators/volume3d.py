@@ -1,0 +1,169 @@
+"""3D whole-volume evaluation: padded single-shot or sliding-window inference,
+optionally sharded over the depth axis across the device mesh.
+
+Reference behavior re-implemented:
+- whole-volume 3D eval with --im_depth -1 (reference threed_script/
+  201_unet_v*.sh + evaluator patch eval, evaluator_liver.py:524-586 overlap
+  averaging).
+- NEW TPU capability (SURVEY.md §5.7): the volume's z axis can be sharded
+  over the mesh (jax sharding on the depth dim); XLA's SPMD partitioner
+  inserts the conv halo exchanges over ICI, giving sequence-parallel
+  inference the single-GPU reference could not do.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from boxsegliver_tpu.evaluators.base import EvaluateBase
+from boxsegliver_tpu.ops.image_ops import zscore as _zscore_jnp
+from boxsegliver_tpu.ops.metrics import ConfusionMatrix
+from boxsegliver_tpu.ops.metrics3d import metric_3d
+
+logger = logging.getLogger("boxsegliver")
+
+
+def pad_to_multiple(vol: np.ndarray, mult: Tuple[int, int, int]):
+    """Zero-pad [d, h, w] so each dim divides mult; returns (padded, pads)."""
+    pads = [(-s) % m for s, m in zip(vol.shape[:3], mult)]
+    if any(pads):
+        vol = np.pad(vol, [(0, p) for p in pads] + [(0, 0)] * (vol.ndim - 3))
+    return vol, pads
+
+
+def make_volume_predict(model, state, mesh=None, z_axis_shards: int = 0):
+    """Jitted whole-volume forward [1, d, h, w, c] → probs.
+
+    With z_axis_shards > 1, the depth axis is sharded over the mesh's data
+    axis — XLA partitions the 3D convs spatially with halo exchanges.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fwd(variables, images):
+        logits = model.apply(variables, {"images": images}, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    variables = {"params": state.params}
+    if getattr(state, "batch_stats", None):
+        variables["batch_stats"] = state.batch_stats
+
+    if mesh is not None and z_axis_shards and z_axis_shards > 1:
+        rep = NamedSharding(mesh, P())
+        zshard = NamedSharding(mesh, P(None, "data"))
+        fwd_jit = jax.jit(fwd, in_shardings=(rep, zshard), out_shardings=zshard)
+
+        def predict(feats):
+            images = jax.device_put(np.asarray(feats["images"]), zshard)
+            return fwd_jit(jax.device_put(variables, rep), images)
+    else:
+        fwd_jit = jax.jit(fwd)
+
+        def predict(feats):
+            return fwd_jit(variables, np.asarray(feats["images"]))
+
+    return predict
+
+
+def sliding_window_3d(predict_fn: Callable, volume: np.ndarray,
+                      patch: Tuple[int, int, int], num_classes: int,
+                      overlap: float = 0.5) -> np.ndarray:
+    """Overlap-averaged sliding-window inference (reference patch eval,
+    evaluator_liver.py:524-586).  volume: [d, h, w, c] normalized."""
+    d, h, w = volume.shape[:3]
+    pd, ph, pw = (min(p, s) for p, s in zip(patch, (d, h, w)))
+    steps = [max(1, int(p * (1 - overlap))) for p in (pd, ph, pw)]
+    probs = np.zeros((d, h, w, num_classes), np.float32)
+    counts = np.zeros((d, h, w, 1), np.float32)
+    starts = [sorted(set(list(range(0, s - p + 1, st)) + [s - p]))
+              for s, p, st in zip((d, h, w), (pd, ph, pw), steps)]
+    for z0 in starts[0]:
+        for y0 in starts[1]:
+            for x0 in starts[2]:
+                tile = volume[z0:z0 + pd, y0:y0 + ph, x0:x0 + pw]
+                p = np.asarray(predict_fn({"images": tile[None]}))[0]
+                probs[z0:z0 + pd, y0:y0 + ph, x0:x0 + pw] += p
+                counts[z0:z0 + pd, y0:y0 + ph, x0:x0 + pw] += 1.0
+    return probs / counts
+
+
+class EvaluateVolume3D(EvaluateBase):
+    """Whole-volume 3D evaluator (UNet3D path)."""
+
+    def __init__(self, args, dataset_dir, classes: List[str],
+                 align: Tuple[int, int, int] = (2, 16, 16)):
+        super().__init__(classes, list(args.metrics_eval),
+                         getattr(args, "primary_metric", None),
+                         getattr(args, "secondary_metric", None))
+        self.args = args
+        self.dataset_dir = Path(dataset_dir)
+        self.align = align
+
+    def predict_case(self, predict_fn: Callable, volume: np.ndarray
+                     ) -> np.ndarray:
+        """z-score + pad + (whole or sliding-window) forward → probs."""
+        import jax
+
+        args = self.args
+        vol = np.asarray(_zscore_jnp(volume.astype(np.float32)))[..., None]
+        padded, pads = pad_to_multiple(vol, self.align)
+        if args.im_depth > 0 and padded.shape[0] > args.im_depth:
+            probs = sliding_window_3d(
+                predict_fn, padded,
+                (args.im_depth, args.im_height, args.im_width),
+                num_classes=len(self.classes) + 1)
+        else:
+            probs = np.asarray(predict_fn({"images": padded[None]}))[0]
+        if any(pads):
+            probs = probs[:probs.shape[0] - pads[0],
+                          :probs.shape[1] - pads[1],
+                          :probs.shape[2] - pads[2]]
+        return probs
+
+    def run(self, predict_fn: Callable, case_metas: Iterable[Dict],
+            do_eval: bool = True) -> Dict[str, float]:
+        args = self.args
+        self.clear_metrics()
+        accumulator: Dict[str, int] = defaultdict(int)
+        n = 0
+        limit = getattr(args, "eval_num", -1)
+        for meta in list(case_metas)[getattr(args, "eval_skip_num", 0):]:
+            if 0 < limit <= n:
+                break
+            t0 = time.time()
+            pid = int(meta["PID"])
+            vol = np.load(self.dataset_dir / f"volume-{pid}" / "volume.npy")
+            lab = np.load(self.dataset_dir / f"volume-{pid}" / "segmentation.npy")
+            probs = self.predict_case(predict_fn, vol)
+            pred = probs.argmax(-1).astype(np.uint8)
+            results = {}
+            if do_eval:
+                for i, cls in enumerate(self.classes):
+                    p = pred == i + 1
+                    r = lab == i + 1
+                    conf = ConfusionMatrix(p.astype(int), r.astype(int))
+                    accumulator[cls + "_tp"] += conf.tp
+                    accumulator[cls + "_fp"] += conf.fp
+                    accumulator[cls + "_fn"] += conf.fn
+                    pairs = metric_3d(p, r, required=self.metrics_str,
+                                      sampling=meta["spacing"])
+                    for met, v in pairs.items():
+                        results[f"{cls}/{met}"] = v
+                self.append_metrics(results)
+            n += 1
+            msg = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
+            logger.info("Evaluate3D-%d case %s %s (%.3f s)", n, pid, msg,
+                        time.time() - t0)
+        results = self.mean_metrics()
+        for cls in self.classes:
+            denom = (2 * accumulator[cls + "_tp"] + accumulator[cls + "_fn"]
+                     + accumulator[cls + "_fp"])
+            if denom:
+                results["G" + cls + "Dice"] = 2 * accumulator[cls + "_tp"] / denom
+        return results
