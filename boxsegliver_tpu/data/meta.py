@@ -279,3 +279,23 @@ def simulate_user_prior(metas: List[Dict], out_file=None) -> Dict:
         with out_file.open("w") as f:
             json.dump(all_prior, f)
     return all_prior
+
+
+def dump_glcm_features(dataset_dir, out_dir=None, modes=("train", "eval"),
+                       **glcm_kwargs):
+    """feat/glcm/{train,eval}/<PID>.npy GLCM context features
+    (reference dump_glcm_feature_for_train/_eval, extract.py:377-661)."""
+    from boxsegliver_tpu.ops.glcm import case_glcm_features
+
+    root = Path(dataset_dir)
+    out = Path(out_dir) if out_dir else root / "feat" / "glcm"
+    metas = load_meta(root)
+    for mode in modes:
+        (out / mode).mkdir(parents=True, exist_ok=True)
+    for m in metas:
+        case_dir = root / f"volume-{m['PID']}"
+        volume = np.load(case_dir / "volume.npy").astype(np.float32) / IM_SCALE + GRAY_MIN
+        for mode in modes:
+            feats = case_glcm_features(volume, m, mode, **glcm_kwargs)
+            np.save(out / mode / ("%03d.npy" % m["PID"]), feats)
+    return out

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import logging
+from pathlib import Path
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -198,6 +199,10 @@ class Trainer:
                                       save_interval_steps=save_ckpt_steps)
         self.loss_meter = AverageMeter()
         self.speed = SpeedLogger(log_step=args.log_step)
+        from boxsegliver_tpu.utils.summary import SummaryWriter
+        self.summary = SummaryWriter(
+            Path(args.model_dir) / "summaries",
+            prefix=getattr(args, "summary_prefix", "") or "")
         self.plateau: Optional[ReduceLROnPlateau] = None
         if args.learning_policy == "plateau":
             self.plateau = ReduceLROnPlateau(
@@ -291,12 +296,17 @@ class Trainer:
             if "/" in k:
                 log_vals[k] = float(v)
         self.speed.maybe_log(step, log_vals)
+        if step % self.args.log_step == 0 or step == 1:
+            self.summary.scalars(log_vals, step)
         if step % self.args.log_step == 0:
             self.loss_meter.reset()  # periodic reset (estimator.py:657-675)
         self.ckpt.maybe_save(step, self.state)
 
     def _run_eval(self, eval_fn, step: int):
         results = eval_fn(self)
+        if results:
+            self.summary.scalars({f"eval/{k}": v for k, v in results.items()},
+                                 step)
         if results and self.best_keeper is not None:
             self.best_keeper.update(
                 step, results,
