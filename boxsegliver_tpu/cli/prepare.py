@@ -22,6 +22,8 @@ def main(argv=None):
     p.add_argument("--src", required=True)
     p.add_argument("--dst", required=True)
     p.add_argument("--only_meta", action="store_true")
+    p.add_argument("--modality", choices=["liver", "nf"], default="liver",
+                   help="Value window + lesion label preset")
     p.add_argument("--no_lits_quirk", action="store_true",
                    help="Disable the LiTS case-28..51 orientation fix")
 
@@ -48,7 +50,8 @@ def main(argv=None):
     if args.cmd == "extract":
         from boxsegliver_tpu.data.meta import extract_dataset
         metas = extract_dataset(args.src, args.dst, only_meta=args.only_meta,
-                                lits_quirk=not args.no_lits_quirk)
+                                lits_quirk=not args.no_lits_quirk,
+                                modality=args.modality)
         print(f"Extracted {len(metas)} cases → {args.dst}/meta.json")
     elif args.cmd == "hist":
         from boxsegliver_tpu.data.meta import dump_hist_features

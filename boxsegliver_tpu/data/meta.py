@@ -123,13 +123,24 @@ def window_clip_uint16(volume: np.ndarray, gray_min=GRAY_MIN, gray_max=GRAY_MAX,
     return ((np.clip(volume, gray_min, gray_max) - gray_min) * scale).astype(np.uint16)
 
 
+# Modality presets: value window + tumor label id
+# - liver: LiTS CT (reference Liver/extract.py:32-33), tumor label 2
+# - nf: neurofibroma MRI, gray range [0, 1000] (reference
+#   NF/input_pipeline.py:45-46), lesion label 1
+MODALITIES = {
+    "liver": {"gray_min": GRAY_MIN, "gray_max": GRAY_MAX, "tumor_value": 2},
+    "nf": {"gray_min": 0, "gray_max": 1000, "tumor_value": 1},
+}
+
+
 def extract_case(vol_path, dst_root: Path, only_meta: bool = False,
-                 lits_quirk: bool = True) -> Dict:
+                 lits_quirk: bool = True, modality: str = "liver") -> Dict:
     """One NIfTI case → npy cache + meta dict."""
+    preset = MODALITIES[modality]
     vol_path = Path(vol_path)
     pid = int(vol_path.stem.split(".")[0].split("-")[-1])
     lab_path = vol_path.parent / vol_path.name.replace("volume", "segmentation")
-    if lits_quirk:
+    if lits_quirk and modality == "liver":
         vh, volume = nii_kits.read_nii(vol_path, out_dtype=np.int16,
                                        special=28 <= pid < 48)
         _, labels = nii_kits.read_nii(lab_path, out_dtype=np.uint8,
@@ -138,24 +149,29 @@ def extract_case(vol_path, dst_root: Path, only_meta: bool = False,
         vh, volume = nii_kits.read_nii(vol_path, out_dtype=np.int16)
         _, labels = nii_kits.read_nii(lab_path, out_dtype=np.uint8)
     spacing = list(vh.get_zooms()[::-1])[-3:]
-    meta = process_case(volume, labels, spacing, pid, str(vol_path), str(lab_path))
+    meta = process_case(volume, labels, spacing, pid, str(vol_path),
+                        str(lab_path), tumor_value=preset["tumor_value"])
     if not only_meta:
         case_dir = Path(dst_root) / vol_path.stem.split(".")[0]
         case_dir.mkdir(parents=True, exist_ok=True)
-        np.save(case_dir / "volume.npy", window_clip_uint16(volume))
+        np.save(case_dir / "volume.npy",
+                window_clip_uint16(volume, preset["gray_min"],
+                                   preset["gray_max"]))
         np.save(case_dir / "segmentation.npy", labels)
     return meta
 
 
 def extract_dataset(src_dir, dst_dir, only_meta: bool = False,
-                    pattern: str = "volume-*.nii*", lits_quirk: bool = True) -> List[Dict]:
+                    pattern: str = "volume-*.nii*", lits_quirk: bool = True,
+                    modality: str = "liver") -> List[Dict]:
     """All cases → dst_dir/<case>/*.npy + dst_dir/meta.json
-    (reference nii_3d_to_png, extract.py:190-213)."""
+    (reference nii_3d_to_png, extract.py:190-213; NF/extract.py:36-710)."""
     src, dst = Path(src_dir), Path(dst_dir)
     dst.mkdir(parents=True, exist_ok=True)
     cases = sorted(src.glob(pattern),
                    key=lambda x: int(x.stem.split(".")[0].split("-")[-1]))
-    metas = [extract_case(c, dst, only_meta, lits_quirk) for c in cases]
+    metas = [extract_case(c, dst, only_meta, lits_quirk, modality)
+             for c in cases]
     metas.sort(key=lambda m: m["PID"])
     with (dst / "meta.json").open("w") as f:
         json.dump(metas, f)
