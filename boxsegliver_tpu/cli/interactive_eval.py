@@ -1,0 +1,116 @@
+"""Standalone interactive evaluation CLI.
+
+Re-implements the reference's interactive drivers as one entry point:
+- 2D (reference entry/main_eval.py:43-396): per-slice click refinement with
+  a UNetInter-style model until Dice > threshold or the click budget runs out.
+- 3D (reference entry/main_eval_3d.py:152-420): whole-volume loop for UNet3D
+  (click at the largest 3D error component, optional TTA).
+
+    python -m boxsegliver_tpu.cli.interactive_eval --dim 2 --model UNetInter \
+        --tag ... --classes NF --dice_thresh 0.85 --max_iters 10 ...
+
+Reports per-case Dice + interaction counts and the dataset means.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from boxsegliver_tpu import config as config_mod
+from boxsegliver_tpu.utils.logger import setup_logger
+
+
+def build_parser():
+    parser = config_mod.build_parser()
+    group = parser.add_argument_group(title="Interactive Eval Arguments")
+    group.add_argument("--dim", type=int, choices=[2, 3], default=2)
+    group.add_argument("--dice_thresh", type=float, default=0.85)
+    group.add_argument("--max_iters", type=int, default=10)
+    group.add_argument("--guide_stddev", type=float, default=5.0)
+    group.add_argument("--guide_kind", type=str, default="gaussian",
+                       choices=["gaussian", "euclidean", "geodesic"])
+    group.add_argument("--tta", action="store_true",
+                       help="8-way mirror TTA in the 3D loop")
+    return parser
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    config_mod.check_args(args, parser)
+    config_mod.fill_default_args(args)
+    args.task = "synthetic"
+    logger = setup_logger(args.model_dir, "eval_inter", args.tag)
+
+    from boxsegliver_tpu.cli.main import build_trainer, resolve_dataset_dir
+    from boxsegliver_tpu.data.kfold import (LITS_SEED, read_or_create_k_folds,
+                                            train_test_split)
+    from boxsegliver_tpu.data.meta import load_meta
+    from boxsegliver_tpu.interactive.refine import (interactive_eval_2d,
+                                                    interactive_eval_3d)
+    from boxsegliver_tpu.ops.array_kits import zscore
+
+    dataset_dir = resolve_dataset_dir(args)
+    trainer = build_trainer(args, dataset_dir)
+    if trainer.ckpt.has_best() and not args.eval_final:
+        restored = trainer.ckpt.restore_best(trainer.state)
+        if restored is not None:
+            trainer.state = restored
+    else:
+        trainer.restore()
+
+    metas = load_meta(dataset_dir)
+    folds = read_or_create_k_folds(
+        Path(dataset_dir) / "k_folds.txt", [m["PID"] for m in metas],
+        k_split=args.k_folds, seed=LITS_SEED)
+    _, test_pids = train_test_split(folds, args.test_fold)
+    test_pids = set(int(p) for p in test_pids)
+    eval_metas = [m for m in metas if int(m["PID"]) in test_pids]
+    if args.eval_num > 0:
+        eval_metas = eval_metas[:args.eval_num]
+
+    all_results = []
+    for meta in eval_metas:
+        pid = int(meta["PID"])
+        vol = np.load(Path(dataset_dir) / f"volume-{pid}" / "volume.npy")
+        lab = np.load(Path(dataset_dir) / f"volume-{pid}" / "segmentation.npy")
+        lab = (lab > 0).astype(np.uint8)
+        vol = zscore(vol.astype(np.float32))
+        if args.dim == 2:
+            # 2.5D slice stacks with edge padding
+            d = vol.shape[0]
+            lh = (args.im_channel - 1) // 2
+            rh = args.im_channel - 1 - lh
+            padded = np.concatenate([np.repeat(vol[:1], lh, 0), vol,
+                                     np.repeat(vol[-1:], rh, 0)], axis=0)
+            images = np.stack([np.transpose(padded[z:z + args.im_channel],
+                                            (1, 2, 0)) for z in range(d)])
+            res = interactive_eval_2d(
+                trainer.predict, images.astype(np.float32), lab,
+                dice_thresh=args.dice_thresh, max_iters=args.max_iters,
+                stddev=args.guide_stddev, guide_kind=args.guide_kind,
+                guide_channel=int(args.guide_channel))
+        else:
+            res = interactive_eval_3d(
+                trainer.predict, vol, lab, dice_thresh=args.dice_thresh,
+                max_iters=args.max_iters, stddev=args.guide_stddev,
+                tta=args.tta)
+        logger.info("case %s: Dice=%.3f clicks=%.1f", pid, res["Dice"],
+                    res["clicks"])
+        all_results.append(res)
+
+    means = {k: float(np.mean([r[k] for r in all_results]))
+             for k in all_results[0]} if all_results else {}
+    logger.info("---- %d cases: %s", len(all_results),
+                " ".join(f"{k}={v:.3f}" for k, v in means.items()))
+    out = Path(args.model_dir) / "eval_results_inter.txt"
+    out.write_text(json.dumps(means))
+    trainer.ckpt.close()
+    return means
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,11 @@ def add_arguments(parser: argparse.ArgumentParser):
                        help="String prepended to summary tags (default: tag)")
     group.add_argument("--save_best", action="store_true",
                        help="Save best checkpoint")
+    group.add_argument("--save_best_ma", action="store_true",
+                       help="Track best by metric moving average (the "
+                            "reference G-Net entry's EvaluatorHookV2)")
+    group.add_argument("--ma_alpha", type=float, default=0.9,
+                       help="Moving-average factor for --save_best_ma")
     group.add_argument("--save_interval", type=int, default=0,
                        help="Save best checkpoint in each interval")
     group.add_argument("--log_step", type=int, default=500,

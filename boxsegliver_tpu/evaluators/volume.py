@@ -89,6 +89,42 @@ class EvaluateVolume(EvaluateBase):
             volume = volume[:-pads]
         return volume
 
+    def predict_case_patches(self, predict_fn: Callable, case: EvalCase,
+                             overlap: float = 0.5) -> np.ndarray:
+        """Patch-based 2D eval (--eval_in_patches, reference
+        input_pipeline.py:676 + evaluator_liver.py:524-586): each slice is
+        tiled at (im_height, im_width) with overlap-count averaging — used
+        when cases are larger than the network's training resolution."""
+        args = self.args
+        ph, pw = args.im_height, args.im_width
+        cz = case.depth
+        _, ch, cw = case.volume.shape
+        c = case.lhc + case.rhc + 1
+        nc = len(self.classes) + 1
+        ys = sorted(set(list(range(0, max(ch - ph, 0) + 1,
+                                   max(1, int(ph * (1 - overlap)))))
+                        + [max(ch - ph, 0)]))
+        xs = sorted(set(list(range(0, max(cw - pw, 0) + 1,
+                                   max(1, int(pw * (1 - overlap)))))
+                        + [max(cw - pw, 0)]))
+        tiles = [(y, x) for y in ys for x in xs]
+        probs = np.zeros((cz, ch, cw, nc), np.float32)
+        counts = np.zeros((ch, cw, 1), np.float32)
+        bs = args.batch_size
+        for z in range(cz):
+            stack = np.transpose(case.volume[z:z + c], (1, 2, 0))
+            batch_tiles = [stack[y:y + ph, x:x + pw] for (y, x) in tiles]
+            for i0 in range(0, len(batch_tiles), bs):
+                chunk = batch_tiles[i0:i0 + bs]
+                arr = np.zeros((bs, ph, pw, c), np.float32)
+                arr[:len(chunk)] = np.stack(chunk)
+                out = np.asarray(predict_fn({"images": arr}), np.float32)
+                for j, (y, x) in enumerate(tiles[i0:i0 + len(chunk)]):
+                    probs[z, y:y + ph, x:x + pw] += out[j]
+                    if z == 0:
+                        counts[y:y + ph, x:x + pw] += 1.0
+        return probs / counts[None]
+
     # ------------------------------------------------------------------
     # postprocess + metrics
     # ------------------------------------------------------------------
@@ -255,7 +291,17 @@ class EvaluateVolume(EvaluateBase):
                     2 * accumulator[cls + "_tp"] / denom if denom else 0.0)
         display = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
         logger.info("----Process %d cases %s", n, display)
+        self._persist_results(results)
         return results
+
+    def _persist_results(self, results: Dict[str, float]):
+        """eval_results_3d.txt JSON next to the checkpoints
+        (reference core/estimator.py:277-279)."""
+        model_dir = Path(getattr(self.args, "model_dir", "") or ".")
+        if model_dir.exists():
+            import json as _json
+            (model_dir / "eval_results_3d.txt").write_text(
+                _json.dumps({k: float(v) for k, v in results.items()}))
 
     # ------------------------------------------------------------------
     # main entry (reference run + _run_actual)
@@ -278,7 +324,10 @@ class EvaluateVolume(EvaluateBase):
             case = parse_case_eval(meta, self.dataset_dir,
                                    im_channel=args.im_channel,
                                    parse_label=do_eval)
-            probs = self.predict_case(predict_fn, case)
+            if getattr(args, "eval_in_patches", False):
+                probs = self.predict_case_patches(predict_fn, case)
+            else:
+                probs = self.predict_case(predict_fn, case)
             results = {}
             if do_eval:
                 results = self.evaluate_case(case, probs, accumulator)
@@ -302,6 +351,7 @@ class EvaluateVolume(EvaluateBase):
                     2 * accumulator[cls + "_tp"] / denom if denom else 0.0)
         display = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
         logger.info("----Process %d cases %s", n, display)
+        self._persist_results(results)
         return results
 
 

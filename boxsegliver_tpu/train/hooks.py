@@ -221,6 +221,54 @@ class BestKeeper:
         return improved
 
 
+class BestKeeperMA(BestKeeper):
+    """Moving-average best tracking (reference EvaluatorHookV2,
+    core/hooks.py:288-470): each eval's metrics are EMA-smoothed before the
+    comparison, damping per-epoch noise.  Sidecar stores {ma_results,
+    ma_best_result} like the reference's best-result dump."""
+
+    def __init__(self, model_dir, primary_metric: str,
+                 secondary_metric: Optional[str] = None,
+                 save_interval: int = 0, min_delta: float = 0.0,
+                 ma_alpha: float = 0.9):
+        self.ma_alpha = ma_alpha
+        self.ma_results: Optional[Dict[str, float]] = None
+        super().__init__(model_dir, primary_metric, secondary_metric,
+                         save_interval=save_interval, min_delta=min_delta)
+
+    def _best_file(self, interval: Optional[int] = None) -> Path:
+        name = "best_result_ma" if interval is None else f"best_result_ma_{interval}"
+        return self.model_dir / name
+
+    def _load(self):
+        f = self._best_file()
+        if f.exists():
+            d = json.loads(f.read_text())
+            self.ma_results = d.get("ma_results")
+            self.best = d.get("ma_best_result", {})
+
+    def update(self, global_step: int, results: Dict[str, float],
+               save_cb: Optional[Callable] = None) -> bool:
+        results = {k: float(v) for k, v in results.items()}
+        if self.ma_results is None:
+            self.ma_results = dict(results)
+        else:
+            for k, v in results.items():
+                prev = self.ma_results.get(k, v)
+                self.ma_results[k] = self.ma_alpha * prev + (1 - self.ma_alpha) * v
+        candidate = dict(self.ma_results)
+        candidate["global_step"] = int(global_step)
+        improved = self.compare_fn(candidate, self.best)
+        if improved:
+            self.best = candidate
+            if save_cb:
+                save_cb("best")
+        self.model_dir.mkdir(parents=True, exist_ok=True)
+        self._best_file().write_text(json.dumps(
+            {"ma_results": self.ma_results, "ma_best_result": self.best}))
+        return improved
+
+
 class SpeedLogger:
     """Step console line: loss, lr, step, metrics (N it/s)
     (reference LoggingTensorWithSpeedFormatterHook, core/hooks.py:521-543)."""

@@ -216,10 +216,18 @@ class Trainer:
                 lr_scale=jnp.asarray(self.plateau.lr_scale, jnp.float32))
         self.best_keeper: Optional[BestKeeper] = None
         if getattr(args, "save_best", False) and getattr(args, "primary_metric", None):
-            self.best_keeper = BestKeeper(
-                args.model_dir, args.primary_metric,
-                getattr(args, "secondary_metric", None),
-                save_interval=getattr(args, "save_interval", 0))
+            if getattr(args, "save_best_ma", False):
+                from boxsegliver_tpu.train.hooks import BestKeeperMA
+                self.best_keeper = BestKeeperMA(
+                    args.model_dir, args.primary_metric,
+                    getattr(args, "secondary_metric", None),
+                    save_interval=getattr(args, "save_interval", 0),
+                    ma_alpha=getattr(args, "ma_alpha", 0.9))
+            else:
+                self.best_keeper = BestKeeper(
+                    args.model_dir, args.primary_metric,
+                    getattr(args, "secondary_metric", None),
+                    save_interval=getattr(args, "save_interval", 0))
 
     # -- resume ------------------------------------------------------------
     def restore(self):

@@ -191,3 +191,48 @@ def test_evaluate_base_csv_and_compare(tmp_path):
     text = (tmp_path / "m.csv").read_text()
     assert "Liver/Dice" in text and "0.9" in text
     assert ev.compare({"Liver/Dice": 0.9}, {"Liver/Dice": 0.8})
+
+
+def test_patch_eval_oracle(dataset):
+    """--eval_in_patches: tiled overlap-averaged eval reproduces oracle."""
+    meta = load_meta(dataset)[0]
+    case = parse_case_eval(meta, dataset, im_channel=3)
+    ch, cw = case.segmentation.shape[1:]
+    args = _args(im_height=ch // 2, im_width=cw // 2, eval_in_patches=True,
+                 batch_size=4)
+    ev = EvaluateVolume(args, dataset, CLASSES)
+
+    def oracle(feats):
+        """Pixelwise classifier from image intensity: reproduces the same
+        labels regardless of tiling (bg≈0.09, tumor≈0.49, liver≈0.57)."""
+        x = feats["images"][..., 1]
+        p_bg = (x < 0.3).astype(np.float32)
+        p_tm = ((x >= 0.3) & (x < 0.53)).astype(np.float32)
+        p_lv = (x >= 0.53).astype(np.float32)
+        return np.stack([p_bg, p_lv, p_tm], axis=-1)
+
+    probs = ev.predict_case_patches(oracle, case)
+    assert probs.shape == (case.depth, ch, cw, 3)
+    results = ev.evaluate_case(case, probs)
+    # intensity thresholds are noisy near boundaries; still high Dice
+    assert results["Liver/Dice"] > 0.9
+
+
+def test_eval_results_persisted(dataset, tmp_path):
+    meta = load_meta(dataset)[0]
+    case = parse_case_eval(meta, dataset, im_channel=3)
+    args = _args(im_height=case.segmentation.shape[1],
+                 im_width=case.segmentation.shape[2],
+                 model_dir=str(tmp_path))
+    ev = EvaluateVolume(args, dataset, CLASSES)
+    holder = {}
+
+    def predict(feats):
+        if "o" not in holder:
+            holder["o"] = _LabelOracle(case, args.batch_size)
+        return holder["o"](feats)
+
+    ev.run(predict, [meta])
+    import json
+    saved = json.loads((tmp_path / "eval_results_3d.txt").read_text())
+    assert saved["Liver/Dice"] > 0.999

@@ -248,3 +248,20 @@ def test_trainer_train_loop_with_eval_and_best(tmp_path):
     assert best["Liver/Dice"] == pytest.approx(0.52)
     assert tr.ckpt.has_best("best")
     tr.ckpt.close()
+
+
+def test_best_keeper_moving_average(tmp_path):
+    from boxsegliver_tpu.train.hooks import BestKeeperMA
+    bk = BestKeeperMA(tmp_path, "Tumor/Dice", ma_alpha=0.5)
+    saves = []
+    assert bk.update(10, {"Tumor/Dice": 0.8}, save_cb=saves.append)  # MA=0.8
+    # a one-off spike barely moves the MA
+    bk.update(20, {"Tumor/Dice": 0.9}, save_cb=saves.append)         # MA=0.85
+    assert bk.ma_results["Tumor/Dice"] == pytest.approx(0.85)
+    # a crash doesn't destroy the best record
+    assert not bk.update(30, {"Tumor/Dice": 0.1}, save_cb=saves.append)
+    assert bk.best["Tumor/Dice"] == pytest.approx(0.85)
+    # sidecar + resume
+    bk2 = BestKeeperMA(tmp_path, "Tumor/Dice", ma_alpha=0.5)
+    assert bk2.ma_results["Tumor/Dice"] == pytest.approx(bk.ma_results["Tumor/Dice"])
+    assert bk2.best["Tumor/Dice"] == pytest.approx(0.85)
