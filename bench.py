@@ -20,7 +20,6 @@ import os
 import time
 from pathlib import Path
 
-import numpy as np
 
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", "32"))
 STEPS = int(os.environ.get("BENCH_STEPS", "15"))

@@ -18,7 +18,6 @@ from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from boxsegliver_tpu.ops import image_ops
 from boxsegliver_tpu.ops.guides import gaussian_guide_2d, to_guided_range

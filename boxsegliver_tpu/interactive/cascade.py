@@ -10,7 +10,7 @@ boundary-distance channel.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 from scipy import ndimage as ndi

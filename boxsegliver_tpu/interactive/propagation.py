@@ -18,7 +18,7 @@ variants of a slice in a single dispatch.
 from __future__ import annotations
 
 import copy
-from typing import Callable, Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 from scipy import ndimage as ndi

@@ -16,7 +16,7 @@ boxsegliver_tpu.csrc (fast marching, C++).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import numpy as np
 

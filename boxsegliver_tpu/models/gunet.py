@@ -20,7 +20,7 @@ n_modulator_param = init_channels * sum(2^i for i in mod_layers) * 2
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

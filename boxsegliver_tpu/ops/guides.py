@@ -14,7 +14,6 @@ them out explicitly instead of relying on exp() underflow.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 # Guide images of empty slices are all-background. The guided pipelines remap

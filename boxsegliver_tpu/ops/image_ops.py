@@ -18,7 +18,6 @@ Key semantic anchors (reference file:line):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax

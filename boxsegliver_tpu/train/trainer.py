@@ -22,7 +22,6 @@ core/models.py:224-281 model_fn + core/solver.py:221-243):
 
 from __future__ import annotations
 
-import functools
 import logging
 from pathlib import Path
 from typing import Any, Dict, Optional, Sequence
