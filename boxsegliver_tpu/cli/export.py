@@ -39,6 +39,11 @@ def export_model(args, dataset_dir=None, out_dir=None):
     state = trainer.state
     feats = build_feature_template(args)
 
+    # jax.export cannot serialize FrozenDict pytrees — use plain dicts
+    from flax.core import unfreeze
+    export_params = unfreeze(state.params)
+    export_bs = unfreeze(state.batch_stats) if state.batch_stats else {}
+
     def serve(params, batch_stats, features):
         variables = {"params": params}
         if batch_stats:
@@ -56,12 +61,12 @@ def export_model(args, dataset_dir=None, out_dir=None):
     out.mkdir(parents=True, exist_ok=True)
 
     exported = jax_export.export(jax.jit(serve))(
-        state.params, state.batch_stats, feats)
+        export_params, export_bs, feats)
     (out / "model.stablehlo").write_bytes(exported.serialize())
 
     ckptr = ocp.StandardCheckpointer()
     ckptr.save((out / "params").resolve(),
-               {"params": state.params, "batch_stats": state.batch_stats},
+               {"params": export_params, "batch_stats": export_bs},
                force=True)
     ckptr.wait_until_finished()
 

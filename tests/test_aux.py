@@ -144,3 +144,36 @@ def test_viewer_overlays(tmp_path):
                              scores={"Dice": 0.8})
     assert (out / "sheet.png").exists()
     assert len(list(out.glob("slice_*.png"))) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint tools (reference utils/ckpt_kits.py)
+# ---------------------------------------------------------------------------
+
+def test_ckpt_tools_roundtrip(tmp_path):
+    import orbax.checkpoint as ocp
+    from boxsegliver_tpu.utils.ckpt_tools import (ckpt_vars_rename,
+                                                  find_checkpoint, list_vars)
+    tree = {"params": {"Encode1": {"kernel": np.ones((3, 3), np.float32)},
+                       "Decode1": {"bias": np.zeros((4,), np.float32)}}}
+    src = tmp_path / "src"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(src.resolve(), tree, force=True)
+    ckptr.wait_until_finished()
+
+    vars_ = list_vars(src)
+    assert vars_["params/Encode1/kernel"][0] == (3, 3)
+
+    out = tmp_path / "renamed"
+    renamed = ckpt_vars_rename(src, out, ["Encode"], ["Enc"])
+    assert "Enc1" in renamed["params"]
+    reloaded = list_vars(out)
+    assert "params/Enc1/kernel" in reloaded
+
+    # find_checkpoint over a trainer-layout model_dir
+    model_dir = tmp_path / "model"
+    (model_dir / "ckpt" / "500").mkdir(parents=True)
+    (model_dir / "ckpt" / "1500").mkdir(parents=True)
+    (model_dir / "ckpt_best" / "best").mkdir(parents=True)
+    assert find_checkpoint(model_dir).name == "1500"
+    assert find_checkpoint(model_dir, "checkpoint_best").name == "best"
