@@ -224,3 +224,30 @@ def test_train_dataset_iterates(dataset):
                                np.asarray(feats2["images"]))
     finally:
         ds.close()
+
+
+def test_sampler_determinism(dataset):
+    """Single keyed-PRNG story (SURVEY.md §7 risks): same seed → identical
+    sampling decisions; different seed → different batches."""
+    args = _args()
+    b1 = TrainSampler(dataset, args, mode="train", seed=42).sample_batch(4)
+    b2 = TrainSampler(dataset, args, mode="train", seed=42).sample_batch(4)
+    b3 = TrainSampler(dataset, args, mode="train", seed=43).sample_batch(4)
+    for k in b1:
+        np.testing.assert_array_equal(b1[k], b2[k])
+    assert any(not np.array_equal(b1[k], b3[k]) for k in b1)
+
+
+def test_device_augmentation_determinism(dataset):
+    import jax
+    args = _args()
+    s = TrainSampler(dataset, args, mode="train", seed=0, resize_on_host=False)
+    b = {k: np.asarray(v) for k, v in s.sample_batch(2).items()}
+    kwargs = dict(im_h=64, im_w=64, noise_scale=0.05, random_flip=3,
+                  use_spatial=False, min_std=2.0)
+    f1, l1 = process_train_batch(b, jax.random.PRNGKey(7), **kwargs)
+    f2, l2 = process_train_batch(b, jax.random.PRNGKey(7), **kwargs)
+    f3, _ = process_train_batch(b, jax.random.PRNGKey(8), **kwargs)
+    np.testing.assert_array_equal(np.asarray(f1["images"]), np.asarray(f2["images"]))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert not np.array_equal(np.asarray(f1["images"]), np.asarray(f3["images"]))
