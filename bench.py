@@ -1,127 +1,147 @@
 """Training throughput benchmark (driver-run on the real TPU chip).
 
 Workload: the reference's headline config — UNet 2D on LiTS-like 256x256x3
-slices (reference run_scripts/template/001_unet.sh) — end to end: host
-class-balanced sampling (memory-mapped synthetic cases) + ONE fused compiled
-step per iteration (device-side augmentation + forward + backward + update,
-bf16 activations).  Reports slices/sec/chip.
+slices (reference run_scripts/template/001_unet.sh) — measured on the PRODUCT
+train path: cli.main.build_trainer(fuse_preprocess=True) + TrainDataset(raw=True),
+i.e. the exact compiled step and loop body `python -m boxsegliver_tpu.cli.main
+liver --mode train` executes (host class-balanced sampling, one fused compiled
+step per iteration: device-side augmentation + forward + backward + update,
+bf16 activations, bulk metric drain every 16 steps).
 
-Baseline: BASELINE.json north star is 5000 slices/sec on a v5e-8 slice for
-this workload; per chip that is 625 slices/sec (the per-chip number is what a
-single-chip run can measure; DP scaling over the mesh is validated separately
-by __graft_entry__.dryrun_multichip).  vs_baseline = value / 625.
+Synchronization: this TPU tunnel's `block_until_ready` returns before device
+execution completes (verified: it "times" an 8192^3 matmul at >20 PFLOP/s), so
+each window is closed by an actual host fetch (device_get of the window's
+metrics — which the product loop performs anyway as its metric drain).
+
+Reported value is the MEDIAN of the windows; best is included alongside.
+vs_baseline uses BASELINE.json's "5000 slices/sec on v5e-8" read as per-slice
+(625/chip): the per-chip physical roofline of this model is ~694 slices/s
+(283.6 GFLOP/slice fwd+bwd at 197 bf16 TFLOP/s peak), so the 5000-per-chip
+reading would be 7.2x over the speed of light — see PERF.md for the full
+roofline analysis and achieved MFU.
 """
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
+import statistics
 import time
 from pathlib import Path
 
-
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", "32"))
-STEPS = int(os.environ.get("BENCH_STEPS", "15"))
+STEPS = int(os.environ.get("BENCH_STEPS", "16"))
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "6"))
 BASELINE_PER_CHIP = 5000.0 / 8.0
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e (device_kind "TPU v5 lite")
 
 
-def make_args(model_dir: str) -> argparse.Namespace:
-    return argparse.Namespace(
-        im_height=256, im_width=256, im_channel=3, zoom_scale=[1.0, 1.4],
-        batch_size=BATCH_SIZE, tumor_percent=0.5, guide_percent=0.66,
-        test_fold=0, k_folds=4, noise_scale=0.1, random_flip=3,
-        random_window=False, use_context=False, use_spatial=False,
-        hist_scale=20.0, hist_noise=False, hist_noise_scale=0.002,
-        spatial_random=1.0, spatial_inner_random=False,
-        center_random_ratio=0.2, stddev_random_ratio=0.4, min_std=2.0,
-        max_objs=8, host_workers=6, context_list=None,
-        learning_rate=3e-4, learning_policy="period_step", num_of_steps=0,
-        num_of_total_steps=10**9, lr_decay_boundaries=None,
-        lr_custom_values=None, lr_decay_step=10**9, lr_decay_rate=0.1,
-        lr_power=0.9, lr_end=1e-6, optimizer="Adam", lr_warm_up=False,
-        slow_start_step=0, slow_start_lr=1e-4, lr_patience=30, tr_patience=0,
-        min_delta=5e-4, weight_decay_rate=1e-5, bias_decay=False,
-        loss_type="xentropy", loss_weight_type="none", loss_numeric_w=None,
-        loss_proportion_decay=1000, metrics_train=["Dice"],
-        metrics_eval=["Dice"], batches_per_epoch=10**9, log_step=10**9,
-        model_dir=model_dir, save_best=False, save_interval=0,
-        primary_metric=None, secondary_metric=None, seed=0,
-        warm_start_from=None, num_replicas=0)
+def product_args(model_dir: str):
+    """The real CLI flag surface for the headline workload
+    (run_scripts/template/001_unet.sh equivalent)."""
+    from boxsegliver_tpu.cli.main import get_args
+    return get_args([
+        "liver", "--mode", "train", "--tag", "bench",
+        "--model", "UNet", "--classes", "Liver", "Tumor",
+        "--batch_size", str(BATCH_SIZE), "--im_channel", "3",
+        "--noise_scale", "0.1", "--random_flip", "3",
+        "--test_fold", "0", "--k_folds", "4",
+        "--num_of_total_steps", "1000000",
+        "--model_dir", model_dir, "--host_workers", "1",
+        "--log_step", "1000000", "--device_cache",
+    ])
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from boxsegliver_tpu.cli.main import build_trainer
     from boxsegliver_tpu.data import synthetic
-    from boxsegliver_tpu.data.pipeline import make_preprocess_fn
+    from boxsegliver_tpu.data.pipeline import TrainDataset
     from boxsegliver_tpu.data.sampler import TrainSampler
-    from boxsegliver_tpu.models import build_model
-    from boxsegliver_tpu.parallel import make_mesh
-    from boxsegliver_tpu.train.solver import Solver
-    from boxsegliver_tpu.train.trainer import create_train_state, make_train_step
 
     ds_root = Path("/tmp/boxseg_bench_ds")
     if not (ds_root / "meta.json").exists():
         synthetic.make_synthetic_dataset(ds_root, n_cases=4,
                                          shape=(24, 512, 512), k_split=4,
                                          with_features=False)
-    args = make_args("/tmp/boxseg_bench_model")
+    args = product_args("/tmp/boxseg_bench_model")
+    args.num_replicas = 1  # single-chip measurement
 
-    mesh = make_mesh(1)  # single-chip measurement
-    rep = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    from boxsegliver_tpu.data.device_cache import DeviceVolumeCache
+    from boxsegliver_tpu.data.kfold import (LITS_SEED, read_or_create_k_folds,
+                                            train_test_split)
+    from boxsegliver_tpu.data.meta import load_meta
+    from boxsegliver_tpu.parallel import make_mesh
 
-    # Single-threaded loop: this box has ONE host core, so worker threads only
-    # add GIL contention; host work (sample 28ms + device_put 7ms) overlaps
-    # device compute through JAX async dispatch.
-    sampler = TrainSampler(ds_root, args, mode="train", seed=1)
-
-    model = build_model("UNet", model_kwargs={"init_channels": 64},
-                        num_classes=3, dtype=jnp.bfloat16)
-    solver = Solver(args)
-    preprocess = make_preprocess_fn(args)
-    classes = ["Background", "Liver", "Tumor"]
-
-    raw0 = jax.device_put(sampler.sample_batch(args.batch_size), data)
-    sample_feats, _ = jax.jit(preprocess)(raw0, jax.random.PRNGKey(0))
-    state = create_train_state(model, solver, sample_feats, jax.random.PRNGKey(0))
-    state = jax.device_put(state, rep)
-
-    step_fn = jax.jit(
-        make_train_step(model, solver, args, classes, preprocess_fn=preprocess),
-        in_shardings=(rep, data, None, rep), out_shardings=(rep, rep),
-        donate_argnums=(0,))
-
-    rng = jax.random.PRNGKey(1)
+    metas = load_meta(ds_root)
+    folds = read_or_create_k_folds(ds_root / "k_folds.txt",
+                                   [m["PID"] for m in metas],
+                                   k_split=args.k_folds, seed=LITS_SEED)
+    train_pids, _ = train_test_split(folds, args.test_fold)
+    cache = DeviceVolumeCache(ds_root, [int(p) for p in train_pids],
+                              mesh=make_mesh(1),
+                              budget_gb=args.device_cache_gb)
+    trainer = build_trainer(args, ds_root, fuse_preprocess=True, cache=cache)
+    sampler = TrainSampler(ds_root, args, mode="train", seed=1,
+                           zbase=cache.zbase)
+    dataset = TrainDataset(sampler, args, seed=args.seed, raw=True,
+                           workers=1, prefetch=4)
+    it = iter(dataset)
+    drain_every = int(args.metrics_fetch_steps)
 
     def run_window(n):
-        nonlocal rng, state
+        """n product steps: device_put raw batch -> fused compiled step ->
+        bulk metric drain every drain_every steps (the product loop body)."""
+        pending = []
         t0 = time.perf_counter()
         for _ in range(n):
-            rng, sub = jax.random.split(rng)
-            batch = jax.device_put(sampler.sample_batch(args.batch_size), data)
-            state, metrics = step_fn(state, batch, None, sub)
-        jax.block_until_ready(metrics["total_loss"])
+            batch = next(it)
+            feats = jax.device_put(batch, trainer._data_sharding)
+            metrics = trainer.train_step(feats, None)
+            pending.append(metrics)
+            if len(pending) >= drain_every:
+                jax.device_get(pending)
+                pending = []
+        if pending:
+            jax.device_get(pending)
         return time.perf_counter() - t0
 
     run_window(3)  # warmup / compile
-    # The dev tunnel's effective TPU throughput is noisy (shared pool, up to
-    # ~20x run-to-run): report the best of several short windows as the
-    # hardware-capability number the driver records.
-    windows = [run_window(STEPS) for _ in range(WINDOWS)]
-    dt = min(windows)
+    windows = sorted(run_window(STEPS) for _ in range(WINDOWS))
+    med = statistics.median(windows)
+    best = windows[0]
 
-    slices_per_sec = STEPS * args.batch_size / dt
+    flops_per_step = _step_flops(trainer, it)
+    med_sps = STEPS * BATCH_SIZE / med
+    best_sps = STEPS * BATCH_SIZE / best
+    dataset.close()
     print(json.dumps({
         "metric": "unet2d_train_throughput_256x256",
-        "value": round(slices_per_sec, 1),
+        "value": round(med_sps, 1),
         "unit": "slices/sec/chip",
-        "vs_baseline": round(slices_per_sec / BASELINE_PER_CHIP, 3),
+        "vs_baseline": round(med_sps / BASELINE_PER_CHIP, 3),
+        "best": round(best_sps, 1),
+        "mfu_median": round(med_sps * flops_per_step / BATCH_SIZE
+                            / (PEAK_BF16_TFLOPS * 1e12), 3),
+        "windows_ms_per_step": [round(w / STEPS * 1e3, 1) for w in windows],
     }))
+
+
+def _step_flops(trainer, it) -> float:
+    """XLA cost analysis of the compiled product step (for the MFU report)."""
+    import jax
+    try:
+        batch = next(it)
+        feats = jax.device_put(batch, trainer._data_sharding)
+        lowered = trainer._train_step.lower(trainer.state, feats, None,
+                                            jax.random.PRNGKey(0))
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 if __name__ == "__main__":

@@ -83,7 +83,11 @@ def build_feature_template(args):
     return feats
 
 
-def build_trainer(args, dataset_dir):
+def build_trainer(args, dataset_dir, fuse_preprocess=False, cache=None):
+    """fuse_preprocess=True compiles the device-side augmentation INTO the
+    train step (one dispatch per step) — the product train path; the dataset
+    then yields raw host batches (TrainDataset(raw=True)).  cache: optional
+    DeviceVolumeCache for the HBM-resident pixel path."""
     import jax.numpy as jnp
 
     from boxsegliver_tpu.models import build_model, get_model_params
@@ -95,8 +99,17 @@ def build_trainer(args, dataset_dir):
                         model_kwargs=params["model_kwargs"], dtype=dtype)
     classes = ["Background"] + list(args.classes)
     feats = build_feature_template(args)
+    preprocess_fn = None
+    if fuse_preprocess:
+        if is_3d(args):
+            from boxsegliver_tpu.data.pipeline3d import make_preprocess_fn_3d
+            preprocess_fn = make_preprocess_fn_3d(args)
+        else:
+            from boxsegliver_tpu.data.pipeline import make_preprocess_fn
+            preprocess_fn = make_preprocess_fn(args, cache=cache)
     return Trainer(model, args, classes, feats,
-                   num_replicas=getattr(args, "num_replicas", 0))
+                   num_replicas=getattr(args, "num_replicas", 0),
+                   preprocess_fn=preprocess_fn)
 
 
 def main(argv=None):
@@ -126,20 +139,34 @@ def train(args, dataset_dir, logger):
     from boxsegliver_tpu.evaluators.volume import (EvaluateVolume,
                                                    make_inline_eval_fn)
 
-    trainer = build_trainer(args, dataset_dir)
+    cache = None
+    if getattr(args, "device_cache", False) and not is_3d(args):
+        from boxsegliver_tpu.data.device_cache import DeviceVolumeCache
+        from boxsegliver_tpu.parallel import make_mesh
+        metas = load_meta(dataset_dir)
+        folds = read_or_create_k_folds(
+            Path(dataset_dir) / "k_folds.txt", [m["PID"] for m in metas],
+            k_split=args.k_folds, seed=LITS_SEED)
+        train_pids, _ = train_test_split(folds, args.test_fold)
+        cache = DeviceVolumeCache(dataset_dir, [int(p) for p in train_pids],
+                                  mesh=make_mesh(args.num_replicas),
+                                  budget_gb=args.device_cache_gb)
+
+    trainer = build_trainer(args, dataset_dir, fuse_preprocess=True,
+                            cache=cache)
     start = trainer.restore()
     logger.info("Starting at global step %d (mesh size %d)", start,
                 trainer.mesh.size)
 
+    # augmentation is fused into the compiled train step (build_trainer), so
+    # the dataset yields raw host batches
     if is_3d(args):
-        from boxsegliver_tpu.data.pipeline3d import make_preprocess_fn_3d
         from boxsegliver_tpu.data.sampler3d import Sampler3D
         sampler = Sampler3D(dataset_dir, args, mode="train", seed=args.seed)
-        dataset = TrainDataset(sampler, args, seed=args.seed,
-                               process_fn=make_preprocess_fn_3d(args))
     else:
-        sampler = TrainSampler(dataset_dir, args, mode="train", seed=args.seed)
-        dataset = TrainDataset(sampler, args, seed=args.seed)
+        sampler = TrainSampler(dataset_dir, args, mode="train", seed=args.seed,
+                               zbase=cache.zbase if cache else None)
+    dataset = TrainDataset(sampler, args, seed=args.seed, raw=True)
 
     eval_fn = None
     if args.eval_per_epoch:

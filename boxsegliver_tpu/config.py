@@ -68,6 +68,11 @@ def add_arguments(parser: argparse.ArgumentParser):
     group.add_argument("--compute_dtype", type=str, default="bfloat16",
                        choices=["bfloat16", "float32"],
                        help="Activation compute dtype (params stay float32)")
+    group.add_argument("--metrics_fetch_steps", type=int, default=16,
+                       help="Train-loop metric drain cadence: device metric "
+                            "arrays are fetched to host in ONE bulk transfer "
+                            "every N steps so the device pipeline never "
+                            "stalls on a host round trip")
     group.add_argument("--fix", action="store_true",
                        help="Remove norm+relu in spatial guide module")
 
@@ -203,6 +208,13 @@ def add_pipeline_arguments(parser: argparse.ArgumentParser):
     group.add_argument("--eval_mirror", action="store_true")
     group.add_argument("--host_workers", type=int, default=4,
                        help="Host sampler worker threads")
+    group.add_argument("--device_cache", action="store_true",
+                       help="Keep the training split's volumes resident in "
+                            "HBM: per-step host->device traffic drops to a "
+                            "few hundred bytes of slice indices (2D train "
+                            "path; dataset must fit --device_cache_gb)")
+    group.add_argument("--device_cache_gb", type=float, default=8.0,
+                       help="HBM budget for --device_cache")
 
     group = parser.add_argument_group(title="G-Net Arguments")
     group.add_argument("--side_dropout", type=float, default=0.5,

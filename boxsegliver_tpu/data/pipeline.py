@@ -18,6 +18,7 @@ from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from boxsegliver_tpu.ops import image_ops
 from boxsegliver_tpu.ops.guides import gaussian_guide_2d, to_guided_range
@@ -42,6 +43,38 @@ def _process_one(window, label, crop_hw, clip, pad_mask, key,
         img = jnp.transpose(window, (1, 2, 0)).astype(jnp.float32)  # [Hm, Wm, C]
         img, lab = image_ops.crop_and_resize_2d(
             img, label, 0.0, 0.0, crop_hw[0], crop_hw[1], im_h, im_w)
+    return _augment_tail(img, lab, clip, pad_mask, key, centers, stddevs,
+                         n_objs, context, im_h=im_h, im_w=im_w,
+                         noise_scale=noise_scale, random_flip=random_flip,
+                         use_spatial=use_spatial, min_std=min_std)
+
+
+def _process_one_cached(zidx, lab_z, offset, crop_hw, clip, pad_mask, key,
+                        centers, stddevs, n_objs, context, vol_cache, lab_cache,
+                        *, im_h: int, im_w: int, noise_scale: float,
+                        random_flip: int, use_spatial: bool, min_std: float):
+    """Per-sample processing from the HBM-resident volume cache
+    (data/device_cache.py): gather the 2.5D slice window by absolute z index,
+    then crop/resize/augment — zero pixel bytes cross the host boundary."""
+    win = jnp.take(vol_cache, zidx, axis=0)            # [C, H, W] uint16
+    img = jnp.transpose(win, (1, 2, 0)).astype(jnp.float32)
+    lab = jnp.take(lab_cache, lab_z, axis=0)           # [H, W] uint8
+    img, lab = image_ops.crop_and_resize_2d(
+        img, lab, offset[0], offset[1], crop_hw[0], crop_hw[1], im_h, im_w)
+    # out-of-z-range channels were gathered from the clamped edge slice: zero
+    # them to reproduce the zero-pad semantics (normalize maps 0 -> 0)
+    img = img * pad_mask[None, None, :]
+    return _augment_tail(img, lab, clip, pad_mask, key, centers, stddevs,
+                         n_objs, context, im_h=im_h, im_w=im_w,
+                         noise_scale=noise_scale, random_flip=random_flip,
+                         use_spatial=use_spatial, min_std=min_std)
+
+
+def _augment_tail(img, lab, clip, pad_mask, key, centers, stddevs, n_objs,
+                  context, *, im_h: int, im_w: int, noise_scale: float,
+                  random_flip: int, use_spatial: bool, min_std: float):
+    """Shared per-sample augmentation: clip-normalize, guide render, noise,
+    joint flips (reference data_processing_train, input_pipeline_g.py:347-412)."""
     lab = lab.astype(jnp.int32)
 
     # window-level clip-normalize (input_pipeline_g.py:362-363)
@@ -79,26 +112,38 @@ def _process_one(window, label, crop_hw, clip, pad_mask, key,
 
 def _process_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
                    im_w: int, noise_scale: float, random_flip: int,
-                   use_spatial: bool, min_std: float):
-    """Whole-batch processing body: returns (features dict, labels[bs,h,w])."""
-    host_resized = "image" in batch
-    window = batch["image"] if host_resized else batch["window"]
-    crop_hw = None if host_resized else batch["crop_hw"]
-    bs = window.shape[0]
+                   use_spatial: bool, min_std: float, cache=None):
+    """Whole-batch processing body: returns (features dict, labels[bs,h,w]).
+
+    Three input layouts (sampler.TrainSampler): host-resized pixels,
+    device-resize pixel windows, or HBM-cache slice indices (cache given)."""
+    bs = batch["names"].shape[0]
     keys = jax.random.split(key, bs)
     centers = batch.get("centers", jnp.full((bs, 1, 2), -1.0, jnp.float32))
     stddevs = batch.get("stddevs", jnp.ones((bs, 1, 2), jnp.float32))
     n_objs = batch.get("n_objs", jnp.zeros((bs,), jnp.int32))
     context = batch.get("context", None)
+    ctx_ax = 0 if context is not None else None
+    static = dict(im_h=im_h, im_w=im_w, noise_scale=noise_scale,
+                  random_flip=random_flip, use_spatial=use_spatial,
+                  min_std=min_std)
 
-    fn = functools.partial(_process_one, im_h=im_h, im_w=im_w,
-                           noise_scale=noise_scale, random_flip=random_flip,
-                           use_spatial=use_spatial, min_std=min_std)
-    in_axes = (0, 0, None if host_resized else 0, 0, 0, 0, 0, 0, 0,
-               0 if context is not None else None)
-    feats, labels = jax.vmap(fn, in_axes=in_axes)(
-        window, batch["label"], crop_hw, batch["clip"],
-        batch["pad_mask"], keys, centers, stddevs, n_objs, context)
+    if "zidx" in batch:
+        fn = functools.partial(_process_one_cached, **static)
+        feats, labels = jax.vmap(
+            fn, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, ctx_ax, None, None))(
+            batch["zidx"], batch["lab_z"], batch["offset"], batch["crop_hw"],
+            batch["clip"], batch["pad_mask"], keys, centers, stddevs, n_objs,
+            context, cache.volume, cache.label)
+    else:
+        host_resized = "image" in batch
+        window = batch["image"] if host_resized else batch["window"]
+        crop_hw = None if host_resized else batch["crop_hw"]
+        fn = functools.partial(_process_one, **static)
+        in_axes = (0, 0, None if host_resized else 0, 0, 0, 0, 0, 0, 0, ctx_ax)
+        feats, labels = jax.vmap(fn, in_axes=in_axes)(
+            window, batch["label"], crop_hw, batch["clip"],
+            batch["pad_mask"], keys, centers, stddevs, n_objs, context)
     feats["names"] = batch["names"]
     return feats, labels
 
@@ -108,67 +153,81 @@ process_train_batch = functools.partial(jax.jit, static_argnames=(
     "min_std"))(_process_batch)
 
 
-def make_preprocess_fn(args):
+def make_preprocess_fn(args, cache=None):
     """(raw_batch, key) -> (features, labels) closure for fusing the device
     augmentation into the train step (trainer.make_train_step preprocess_fn):
-    one compiled executable does augment + forward + backward per step."""
+    one compiled executable does augment + forward + backward per step.
+
+    cache: a data/device_cache.DeviceVolumeCache — its HBM arrays are closed
+    over (they keep their replicated sharding as implicit jit operands) and
+    the batch is expected in the sampler's index layout."""
     def fn(batch, key):
         return _process_batch(
             batch, key, im_h=args.im_height, im_w=args.im_width,
             noise_scale=float(args.noise_scale),
             random_flip=int(args.random_flip),
             use_spatial=bool(getattr(args, "use_spatial", False)),
-            min_std=float(getattr(args, "min_std", 2.0)))
+            min_std=float(getattr(args, "min_std", 2.0)),
+            cache=cache)
     return fn
 
 
 class TrainDataset:
-    """Iterator of device-ready (features, labels): host sampling on worker
-    threads + bounded prefetch queue (replaces tf.data prefetch(AUTOTUNE),
-    reference input_pipeline_g.py:756-766)."""
+    """Prefetching host-batch iterator (replaces tf.data prefetch(AUTOTUNE),
+    reference input_pipeline_g.py:756-766).
+
+    Worker threads run ``sampler.sample_batch`` CONCURRENTLY, each with its
+    own ``np.random.RandomState`` (sampling touches only per-call RNG state
+    plus GIL-atomic caches, so no lock is needed).
+
+    Two modes:
+    - raw=True (product path): ``__next__`` returns the raw numpy batch dict;
+      the Trainer device_puts it and the compiled train step performs the
+      fused augmentation (trainer preprocess_fn) — ONE dispatch per step.
+    - raw=False: ``__next__`` returns device-processed (features, labels) via
+      ``process_fn`` (default 2D process_train_batch), for standalone use
+      (tests, eval-time batch building).
+    """
 
     def __init__(self, sampler, args, seed: int = 0, prefetch: int = 4,
-                 workers: Optional[int] = None, process_fn=None):
+                 workers: Optional[int] = None, process_fn=None,
+                 raw: bool = False):
         """process_fn(raw_batch, key) -> (features, labels); defaults to the
         2D process_train_batch.  Pass pipeline3d.make_preprocess_fn_3d(args)
         (jitted) for the 3D path."""
         self.sampler = sampler
         self.args = args
         self.batch_size = args.batch_size
+        self.raw = raw
         self.process_fn = jax.jit(process_fn) if process_fn is not None else None
         self.key = jax.random.PRNGKey(seed)
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads = []
         n_workers = workers if workers is not None else getattr(args, "host_workers", 2)
-        self._lock = threading.Lock()
-        for _ in range(max(1, n_workers)):
-            t = threading.Thread(target=self._worker, daemon=True)
+        for wid in range(max(1, n_workers)):
+            rng = np.random.RandomState([seed & 0x7FFFFFFF, 0xB0D5E6, wid])
+            t = threading.Thread(target=self._worker, args=(rng,), daemon=True)
             t.start()
             self._threads.append(t)
 
-    def _worker(self):
+    def _worker(self, rng):
         while not self._stop.is_set():
-            with self._lock:
-                batch = self.sampler.sample_batch(self.batch_size)
-            try:
-                self._q.put(batch, timeout=1.0)
-            except queue.Full:
-                if self._stop.is_set():
-                    return
-                # retry until queue drains
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(batch, timeout=1.0)
-                        break
-                    except queue.Full:
-                        continue
+            batch = self.sampler.sample_batch(self.batch_size, rng=rng)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
 
-    def __iter__(self) -> Iterator[Tuple[Dict, jnp.ndarray]]:
+    def __iter__(self) -> Iterator:
         return self
 
     def __next__(self):
         batch = self._q.get()
+        if self.raw:
+            return batch
         self.key, sub = jax.random.split(self.key)
         args = self.args
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}

@@ -22,7 +22,6 @@ resampled, and cheaper.
 from __future__ import annotations
 
 import math
-import random
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -80,7 +79,12 @@ class CaseVolumes:
         return self._labs[pid]
 
 
-def _crop_offset(obj_bb, crop, size_ax) -> int:
+def _randint(rng: np.random.RandomState, a: int, b: int) -> int:
+    """Inclusive-range randint (python random.randint semantics)."""
+    return int(rng.randint(a, b + 1)) if b >= a else a
+
+
+def _crop_offset(rng, obj_bb, crop, size_ax) -> int:
     """Object-aware crop offset for one axis (input_pipeline_g.py:480-497).
 
     obj_bb = (lo, hi) of the object along this axis; crop = crop size; the
@@ -90,10 +94,10 @@ def _crop_offset(obj_bb, crop, size_ax) -> int:
     rng_l = max(hi + 5 - crop, 0)
     rng_r = min(lo - 5, size_ax - crop)
     if rng_l + 20 < rng_r:
-        return random.randint(rng_l, rng_r)
+        return _randint(rng, rng_l, rng_r)
     a = max(lo - 20, 0)
     b = min(int(lo * 0.75 + hi * 0.25), size_ax - crop)
-    return random.randint(min(a, b), max(a, b)) if b >= a else max(b, 0)
+    return _randint(rng, min(a, b), max(a, b)) if b >= a else max(b, 0)
 
 
 class TrainSampler:
@@ -110,7 +114,12 @@ class TrainSampler:
 
     def __init__(self, dataset_dir, args, mode: str = "train",
                  pids: Optional[Sequence[int]] = None, seed: Optional[int] = None,
-                 resize_on_host: bool = True):
+                 resize_on_host: bool = True,
+                 zbase: Optional[Dict[int, Tuple[int, int]]] = None):
+        """zbase: {pid: (z_offset, depth)} from a DeviceVolumeCache.  When
+        given, the sampler runs in INDEX mode: batches carry only per-sample
+        slice indices + crop scalars (no pixels); the fused device function
+        gathers from the HBM cache (pipeline make_preprocess_fn(cache=...))."""
         self.root = Path(dataset_dir)
         self.args = args
         metas = load_meta(self.root)
@@ -126,8 +135,6 @@ class TrainSampler:
         self.vols = CaseVolumes(self.root)
         self.mode = mode
         self.rng = np.random.RandomState(seed)
-        if seed is not None:
-            random.seed(seed)
 
         self.target = (args.im_height, args.im_width)
         self.channel = args.im_channel
@@ -135,6 +142,7 @@ class TrainSampler:
         self.max_crop = (int(math.ceil(self.target[0] * self.zoom[1])),
                          int(math.ceil(self.target[1] * self.zoom[1])))
         self.resize_on_host = resize_on_host
+        self.zbase = zbase
         self.use_context = bool(getattr(args, "use_context", False))
         self.use_spatial = bool(getattr(args, "use_spatial", False))
         self.max_objs = int(getattr(args, "max_objs", 8))
@@ -219,17 +227,29 @@ class TrainSampler:
         lab_out = cv2.resize(lab_crop, (w, h), interpolation=cv2.INTER_NEAREST)
         return img, lab_out, pad_mask
 
-    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+    def sample_batch(self, batch_size: int,
+                     rng: Optional[np.random.RandomState] = None
+                     ) -> Dict[str, np.ndarray]:
+        """rng: per-call RandomState for thread-safe parallel sampling
+        (each TrainDataset worker passes its own); defaults to self.rng."""
+        rng = rng if rng is not None else self.rng
         args = self.args
         target = np.asarray(self.target, np.float32)
         force_tumor = math.ceil(batch_size * args.tumor_percent)
         force_liver = math.ceil(batch_size * args.guide_percent)
 
-        ci1 = self.rng.choice(self.tumor_cases or [0], force_tumor, True)
-        ci2 = self.rng.choice(len(self.cases), batch_size - force_tumor, True)
+        ci1 = rng.choice(self.tumor_cases or [0], force_tumor, True)
+        ci2 = rng.choice(len(self.cases), batch_size - force_tumor, True)
         ci = np.concatenate([ci1, ci2])
 
-        if self.resize_on_host:
+        if self.zbase is not None:
+            out = {
+                "zidx": np.zeros((batch_size, self.channel), np.int32),
+                "lab_z": np.zeros((batch_size,), np.int32),
+                "offset": np.zeros((batch_size, 2), np.float32),
+                "crop_hw": np.zeros((batch_size, 2), np.float32),
+            }
+        elif self.resize_on_host:
             out = {
                 "image": np.zeros((batch_size,) + self.target + (self.channel,),
                                   np.uint16),
@@ -259,54 +279,67 @@ class TrainSampler:
             case = self.cases[i]
             size = case["size"]
             pid = case["PID"]
-            crop = (target * self.rng.uniform(*self.zoom, size=2)).astype(np.int32)
+            crop = (target * rng.uniform(*self.zoom, size=2)).astype(np.int32)
             crop = (int(min(crop[0], size[1])), int(min(crop[1], size[2])))
 
             ind = -1
             if tumor_counter < force_tumor and case["slices"]:
-                ind = self.rng.randint(len(case["slices"]))
+                ind = rng.randint(len(case["slices"]))
                 sid = case["tumor_slices_index"][ind]
                 tumor_counter += 1
                 liver_counter += 1
-                obj_bb = case["slices"][ind][random.randint(0, len(case["slices"][ind]) - 1)]
+                obj_bb = case["slices"][ind][_randint(rng, 0, len(case["slices"][ind]) - 1)]
             elif liver_counter < force_liver:
-                sid = random.randint(case["bbox"][0], case["bbox"][3] - 1)
+                sid = _randint(rng, case["bbox"][0], case["bbox"][3] - 1)
                 liver_counter += 1
                 b = case["bbox"]
                 obj_bb = [b[1], b[2], b[4], b[5]]
                 if sid in case["tumor_slices_index"]:
                     ind = case["tumor_slices_index"].index(sid)
             else:
-                sid = random.randint(0, size[0] - 1)
+                sid = _randint(rng, 0, size[0] - 1)
                 obj_bb = [size[1], size[2], 0, 0]  # no object
                 if sid in case["tumor_slices_index"]:
                     ind = case["tumor_slices_index"].index(sid)
 
-            off_y = _crop_offset((obj_bb[0], obj_bb[2]), crop[0], size[1])
-            off_x = _crop_offset((obj_bb[1], obj_bb[3]), crop[1], size[2])
+            off_y = _crop_offset(rng, (obj_bb[0], obj_bb[2]), crop[0], size[1])
+            off_x = _crop_offset(rng, (obj_bb[1], obj_bb[3]), crop[1], size[2])
 
-            if self.resize_on_host:
+            if self.zbase is not None:
+                base, depth = self.zbase[pid]
+                lh = (self.channel - 1) // 2
+                pad = np.zeros((self.channel,), np.float32)
+                for k in range(self.channel):
+                    z = sid - lh + k
+                    inside = 0 <= z < depth
+                    out["zidx"][j, k] = base + min(max(z, 0), depth - 1)
+                    pad[k] = 1.0 if inside else 0.0
+                out["lab_z"][j] = base + sid
+                out["offset"][j] = (off_y, off_x)
+                out["crop_hw"][j] = crop
+            elif self.resize_on_host:
                 img, lab, pad = self._resized_window(pid, sid, off_y, off_x, crop)
                 out["image"][j] = img
+                out["label"][j] = lab
             else:
                 win, lab, pad = self._stack_window(pid, sid, off_y, off_x, crop)
                 out["window"][j] = win
                 out["crop_hw"][j] = crop
-            out["label"][j] = lab
+                out["label"][j] = lab
             out["pad_mask"][j] = pad
             out["names"][j] = pid
             if getattr(args, "random_window", False):
-                out["clip"][j] = (random.randint(10, 50) * IM_SCALE,
-                                  random.randint(500, 540) * IM_SCALE)
+                out["clip"][j] = (_randint(rng, 10, 50) * IM_SCALE,
+                                  _randint(rng, 500, 540) * IM_SCALE)
             else:
                 out["clip"][j] = FIXED_CLIP
 
-            use_sp = random.random() < getattr(args, "spatial_random", 1.0)
+            use_sp = rng.random_sample() < getattr(args, "spatial_random", 1.0)
             if self.use_context:
                 if use_sp:
                     feat = self._context_features(pid)[sid].copy()
                     if getattr(args, "hist_noise", False):
-                        feat += (self.rng.normal(0.0, 1.0, feat.shape)
+                        feat += (rng.normal(0.0, 1.0, feat.shape)
                                  * args.hist_noise_scale).astype(np.float32)
                     out["context"][j] = feat
             if self.use_spatial and use_sp and ind >= 0:
@@ -316,15 +349,17 @@ class TrainSampler:
                          if off_y <= centers[t][0] < off_y + crop[0]
                          and off_x <= centers[t][1] < off_x + crop[1]]
                 if getattr(args, "spatial_inner_random", False) and inbox:
-                    inbox = random.sample(inbox, k=random.randint(1, len(inbox)))
+                    k = _randint(rng, 1, len(inbox))
+                    inbox = [inbox[t] for t in
+                             rng.choice(len(inbox), size=k, replace=False)]
                 inbox = inbox[:self.max_objs]
                 if inbox:
                     c = centers[inbox] - np.array([off_y, off_x], np.float32)
                     s = stddevs[inbox]
-                    c = c + s * self.rng.uniform(-args.center_random_ratio,
-                                                 args.center_random_ratio, c.shape)
-                    s = s * self.rng.uniform(1.0 / (1 + args.stddev_random_ratio),
-                                             1.0 + args.stddev_random_ratio, s.shape)
+                    c = c + s * rng.uniform(-args.center_random_ratio,
+                                            args.center_random_ratio, c.shape)
+                    s = s * rng.uniform(1.0 / (1 + args.stddev_random_ratio),
+                                        1.0 + args.stddev_random_ratio, s.shape)
                     s = np.maximum(s, args.min_std)
                     # scale moments crop → target (render-at-target redesign)
                     scale = target / np.asarray(crop, np.float32)

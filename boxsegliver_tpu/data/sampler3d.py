@@ -14,7 +14,6 @@ Pixel work (z-score, guide rendering, flips, gamma) runs on device
 from __future__ import annotations
 
 import math
-import random
 from pathlib import Path
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -57,8 +56,6 @@ class Sampler3D:
             raise ValueError(f"No cases for mode={mode} in {dataset_dir}")
         self.vols = CaseVolumes(self.root)
         self.rng = np.random.RandomState(seed)
-        if seed is not None:
-            random.seed(seed)
         self.patch = (args.im_depth if args.im_depth > 0 else 8,
                       args.im_height, args.im_width)
         self.use_spatial = bool(getattr(args, "use_spatial", False))
@@ -73,7 +70,7 @@ class Sampler3D:
             self._fg_cache[pid] = np.argwhere(np.asarray(lab) == 2)
         return self._fg_cache[pid]
 
-    def _clicks(self, lab_patch: np.ndarray):
+    def _clicks(self, lab_patch: np.ndarray, rng: np.random.RandomState):
         """fg clicks from tumor voxels, bg clicks from a surrounding band."""
         K = self.max_clicks
         fg = -np.ones((K, 3), np.float32)
@@ -82,19 +79,22 @@ class Sampler3D:
         n_fg = 0
         if tumor.any():
             vox = np.argwhere(tumor)
-            n_fg = min(self.rng.randint(1, K + 1), len(vox))
-            sel = self.rng.choice(len(vox), n_fg, replace=False)
+            n_fg = min(rng.randint(1, K + 1), len(vox))
+            sel = rng.choice(len(vox), n_fg, replace=False)
             fg[:n_fg] = vox[sel]
             band = ndi.binary_dilation(tumor, iterations=6) & ~ndi.binary_dilation(
                 tumor, iterations=2)
             bvox = np.argwhere(band)
-            n_bg = min(self.rng.randint(0, K + 1), len(bvox))
+            n_bg = min(rng.randint(0, K + 1), len(bvox))
             if n_bg:
-                sel = self.rng.choice(len(bvox), n_bg, replace=False)
+                sel = rng.choice(len(bvox), n_bg, replace=False)
                 bg[:n_bg] = bvox[sel]
         return fg, bg
 
-    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+    def sample_batch(self, batch_size: int,
+                     rng: Optional[np.random.RandomState] = None
+                     ) -> Dict[str, np.ndarray]:
+        rng = rng if rng is not None else self.rng
         d, h, w = self.patch
         force_tumor = math.ceil(batch_size * self.args.tumor_percent)
         out = {
@@ -108,9 +108,9 @@ class Sampler3D:
 
         for j in range(batch_size):
             if j < force_tumor and self.tumor_cases:
-                mi = self.tumor_cases[self.rng.randint(len(self.tumor_cases))]
+                mi = self.tumor_cases[rng.randint(len(self.tumor_cases))]
             else:
-                mi = self.rng.randint(len(self.metas))
+                mi = rng.randint(len(self.metas))
             meta = self.metas[mi]
             pid = int(meta["PID"])
             vol = self.vols.volume(pid)
@@ -119,11 +119,11 @@ class Sampler3D:
             if j < force_tumor and meta["tumors"]:
                 vox = self._fg_voxels(pid)
                 if len(vox):
-                    center = vox[self.rng.randint(len(vox))]
+                    center = vox[rng.randint(len(vox))]
                 else:
-                    center = [self.rng.randint(s) for s in shape]
+                    center = [rng.randint(s) for s in shape]
             else:
-                center = [self.rng.randint(s) for s in shape]
+                center = [rng.randint(s) for s in shape]
             sl = volume_crop(shape, center, self.patch)
             vp = np.zeros((d, h, w), np.uint16)
             lp = np.zeros((d, h, w), np.uint8)
@@ -135,7 +135,7 @@ class Sampler3D:
             out["label"][j] = lp
             out["names"][j] = pid
             if self.use_spatial:
-                fg, bg = self._clicks(lp)
+                fg, bg = self._clicks(lp, rng)
                 out["fg_pts"][j] = fg
                 out["bg_pts"][j] = bg
         return out

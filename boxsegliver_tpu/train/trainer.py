@@ -167,13 +167,19 @@ class Trainer:
 
     def __init__(self, model, args, classes: Sequence[str],
                  sample_features: Dict, num_replicas: int = 0,
-                 save_ckpt_steps: int = 5000):
+                 save_ckpt_steps: int = 5000, preprocess_fn=None):
+        """preprocess_fn(raw_batch, key) -> (features, labels): when given,
+        the device-side augmentation is FUSED into the compiled train step
+        (one dispatch per step) and `train()` expects the dataset to yield raw
+        host batch dicts (TrainDataset(raw=True)).  This is the product train
+        path; bench.py measures exactly this configuration."""
         self.model = model
         self.args = args
         self.classes = list(classes)
         self.mesh = mesh_mod.make_mesh(num_replicas)
         mesh_mod.per_device_batch_size(args.batch_size, self.mesh.size)
         self.solver = Solver(args)
+        self.preprocess_fn = preprocess_fn
 
         rng = jax.random.PRNGKey(getattr(args, "seed", 1234))
         self.rng, init_rng = jax.random.split(rng)
@@ -185,14 +191,17 @@ class Trainer:
         self.state = jax.device_put(state, rep)
 
         data = mesh_mod.batch_sharding(self.mesh)
+        self._data_sharding = data
         self._train_step = jax.jit(
-            make_train_step(self.model, self.solver, args, self.classes),
-            in_shardings=(rep, data, data, rep),
+            make_train_step(self.model, self.solver, args, self.classes,
+                            preprocess_fn=preprocess_fn),
+            in_shardings=(rep, data, None if preprocess_fn else data, rep),
             out_shardings=(rep, rep),
             donate_argnums=(0,))
         self._eval_step = jax.jit(
             make_eval_step(self.model),
             in_shardings=(rep, data), out_shardings=data)
+        self._host_step = 0  # fresh state starts at step 0; restore() syncs
 
         self.ckpt = CheckpointManager(args.model_dir,
                                       save_interval_steps=save_ckpt_steps)
@@ -237,24 +246,36 @@ class Trainer:
         if step == 0 and getattr(self.args, "warm_start_from", None):
             self.state = warm_start(self.state, self.args.warm_start_from)
             logger.info("Warm started from %s", self.args.warm_start_from)
+        self._host_step = int(step)
         return int(step)
 
     @property
     def global_step(self) -> int:
-        return int(self.state.step)
+        """Host-tracked completed-step count.  Mirrors state.step without a
+        per-step device fetch (the tunnel round trip dominates small fetches)."""
+        return self._host_step
 
     # -- train -------------------------------------------------------------
     def train_step(self, features: Dict, labels) -> Dict[str, float]:
+        """Dispatch one compiled step.  Returns DEVICE metric arrays (fetch
+        them in bulk; each host fetch costs a full tunnel round trip)."""
         self.rng, step_rng = jax.random.split(self.rng)
         self.state, metrics = self._train_step(self.state, features, labels,
                                                step_rng)
+        self._host_step += 1
         return metrics
 
     def train(self, dataset, max_steps: int, eval_fn=None,
               batches_per_epoch: Optional[int] = None):
-        """Main loop: metrics fetching is pipelined one step behind execution
-        so the host never blocks the device (reference hot loop,
-        core/estimator.py:738-758).
+        """Main loop.  Steps are dispatched back-to-back; metric DEVICE arrays
+        accumulate in a window and are fetched with ONE bulk transfer every
+        `fetch_every` steps, so the device pipeline never drains on a host
+        round trip (replaces the reference's per-step sess.run fetch,
+        core/estimator.py:738-758).  Host hooks (loss mean, plateau LR, NaN
+        abort, speed log) replay the window in order — their effect lags
+        execution by at most fetch_every steps, which is harmless for
+        controllers with thousand-step patience (and the NaN abort still
+        aborts, like the reference's NanTensorHook, just a window late).
 
         eval_fn(trainer) -> metrics dict, called every batches_per_epoch steps
         (the reference's eval-per-epoch EvaluatorHook, core/hooks.py:79-191).
@@ -264,27 +285,48 @@ class Trainer:
             logger.info("Skipping training since max_steps has already saved.")
             return
         bpe = batches_per_epoch or self.args.batches_per_epoch
-        pending = None  # (step_number, metrics) one step behind
-        for features, labels in iter(dataset):
+        fetch_every = max(1, min(int(self.args.log_step),
+                                 int(getattr(self.args, "metrics_fetch_steps",
+                                             0) or 16)))
+        step = start
+        pending = []  # [(step, device_metrics)] awaiting one bulk fetch
+        for batch in iter(dataset):
+            if isinstance(batch, tuple):
+                features, labels = batch
+            else:  # raw host dict → fused-preprocess path
+                features = jax.device_put(batch, self._data_sharding)
+                labels = None
             metrics = self.train_step(features, labels)
-            step = self.global_step  # host value of completed step
+            step = self.global_step
+            pending.append((step, metrics))
 
-            if pending is not None:
-                self._after_step(*pending, eval_fn=None)
-            pending = (step, metrics)
-
-            if step % bpe == 0 and eval_fn is not None:
-                # epoch boundary: drain pending then run inline eval
-                self._after_step(*pending, eval_fn=None)
-                pending = None
-                self._run_eval(eval_fn, step)
-            if step >= max_steps or (self.plateau and self.plateau.should_stop()):
+            at_epoch = step % bpe == 0 and eval_fn is not None
+            done = step >= max_steps
+            if len(pending) >= fetch_every or at_epoch or done:
+                self._drain(pending)
+                pending = []
+                if at_epoch:
+                    self._run_eval(eval_fn, step)
+            if done or (self.plateau and self.plateau.should_stop()):
                 break
-        if pending is not None:
-            self._after_step(*pending, eval_fn=None)
+        self._drain(pending)
         self.ckpt.save(self.global_step, self.state)
 
-    def _after_step(self, step: int, metrics, eval_fn=None):
+    def _drain(self, pending):
+        """One bulk device_get of the window's metrics, then replay the host
+        hooks per step in order."""
+        if not pending:
+            return
+        host_metrics = jax.device_get([m for _, m in pending])
+        first = pending[0][0]
+        for (step, _), metrics in zip(pending, host_metrics):
+            self._after_step(step, metrics)
+        last = pending[-1][0]
+        # periodic checkpoint if the window crossed a save boundary
+        if last // self.ckpt.save_interval_steps > (first - 1) // self.ckpt.save_interval_steps:
+            self.ckpt.save(last, self.state)
+
+    def _after_step(self, step: int, metrics):
         loss = float(metrics["total_loss"])
         if not np.isfinite(loss):
             raise FloatingPointError(
@@ -307,7 +349,6 @@ class Trainer:
             self.summary.scalars(log_vals, step)
         if step % self.args.log_step == 0:
             self.loss_meter.reset()  # periodic reset (estimator.py:657-675)
-        self.ckpt.maybe_save(step, self.state)
 
     def _run_eval(self, eval_fn, step: int):
         results = eval_fn(self)
