@@ -7,10 +7,12 @@ flag surface drives model, solver, pipeline, and evaluator construction.
     python -m boxsegliver_tpu.cli.main liver --mode train --tag 001_unet \
         --model UNet --classes Liver Tumor --test_fold 2 ...
 
-Tasks: liver | nf | synthetic (synthetic auto-generates a hermetic dataset;
-the reference's liver/nf split maps to dataset directory conventions here —
-all pipelines run from the npy cache + meta.json produced by
-`python -m boxsegliver_tpu.cli.prepare`).
+Tasks: liver | nf | nf_inter | synthetic (synthetic auto-generates a hermetic
+dataset; the reference's liver/nf split maps to dataset directory conventions
+here — all pipelines run from the npy cache + meta.json produced by
+`python -m boxsegliver_tpu.cli.prepare`).  nf_inter is the interactive
+click-simulation training task (reference entry/main_g.py nf_inter +
+DataLoader/NF/input_pipeline_g_simply.py).
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ from pathlib import Path
 from boxsegliver_tpu import config as config_mod
 from boxsegliver_tpu.utils.logger import setup_logger
 
-TASKS = ("liver", "nf", "synthetic")
+TASKS = ("liver", "nf", "nf_inter", "synthetic")
 
 
 def get_args(argv=None):
@@ -37,23 +39,29 @@ def get_args(argv=None):
     config_mod.fill_default_args(args)
     args.task = task
     if args.dataset == "synthetic" and task != "synthetic":
-        args.dataset = {"liver": "LiTS", "nf": "NF"}[task]
+        args.dataset = {"liver": "LiTS", "nf": "NF", "nf_inter": "NF"}[task]
     return args
 
 
 def resolve_dataset_dir(args) -> Path:
     if args.task == "synthetic" or args.dataset == "synthetic":
-        root = Path(args.data_root) / "synthetic"
+        nf_like = args.task.startswith("nf")
+        root = Path(args.data_root) / ("synthetic_nf" if nf_like else "synthetic")
         if not (root / "meta.json").exists():
             from boxsegliver_tpu.data.synthetic import make_synthetic_dataset
             make_synthetic_dataset(root, n_cases=4, shape=(24, 256, 256),
-                                   k_split=args.k_folds)
+                                   k_split=args.k_folds,
+                                   modality="nf" if nf_like else "liver")
         return root
     return Path(args.data_root) / args.dataset
 
 
 def is_3d(args) -> bool:
     return args.model == "UNet3D"
+
+
+def is_inter(args) -> bool:
+    return getattr(args, "task", "") == "nf_inter"
 
 
 def build_feature_template(args):
@@ -73,7 +81,11 @@ def build_feature_template(args):
     feats = {"images": np.zeros(
         (args.batch_size, args.im_height, args.im_width, args.im_channel),
         np.float32)}
-    if getattr(args, "use_spatial", False):
+    if is_inter(args):
+        gc = int(getattr(args, "guide_channel", 2))
+        feats["sp_guide"] = np.zeros(
+            (args.batch_size, args.im_height, args.im_width, gc), np.float32)
+    elif getattr(args, "use_spatial", False):
         feats["sp_guide"] = np.full(
             (args.batch_size, args.im_height, args.im_width, 1), 0.5, np.float32)
     if getattr(args, "use_context", False):
@@ -104,6 +116,10 @@ def build_trainer(args, dataset_dir, fuse_preprocess=False, cache=None):
         if is_3d(args):
             from boxsegliver_tpu.data.pipeline3d import make_preprocess_fn_3d
             preprocess_fn = make_preprocess_fn_3d(args)
+        elif is_inter(args):
+            from boxsegliver_tpu.data.pipeline_inter import \
+                make_inter_preprocess_fn
+            preprocess_fn = make_inter_preprocess_fn(args, train=True)
         else:
             from boxsegliver_tpu.data.pipeline import make_preprocess_fn
             preprocess_fn = make_preprocess_fn(args, cache=cache)
@@ -140,7 +156,8 @@ def train(args, dataset_dir, logger):
                                                    make_inline_eval_fn)
 
     cache = None
-    if getattr(args, "device_cache", False) and not is_3d(args):
+    if getattr(args, "device_cache", False) and not is_3d(args) \
+            and not is_inter(args):
         from boxsegliver_tpu.data.device_cache import DeviceVolumeCache
         from boxsegliver_tpu.parallel import make_mesh
         metas = load_meta(dataset_dir)
@@ -163,6 +180,10 @@ def train(args, dataset_dir, logger):
     if is_3d(args):
         from boxsegliver_tpu.data.sampler3d import Sampler3D
         sampler = Sampler3D(dataset_dir, args, mode="train", seed=args.seed)
+    elif is_inter(args):
+        from boxsegliver_tpu.data.sampler_inter import InterSampler
+        sampler = InterSampler(dataset_dir, args, mode="train", seed=args.seed,
+                               max_clicks=args.max_clicks)
     else:
         sampler = TrainSampler(dataset_dir, args, mode="train", seed=args.seed,
                                zbase=cache.zbase if cache else None)
@@ -188,11 +209,16 @@ def train(args, dataset_dir, logger):
                 return ev3.run(
                     lambda f: trainer.predict(_with_blank_guide(args, f)),
                     metas_cap)
-        else:
+        elif args.eval_3d:
+            # full per-case volume reassembly (reference --eval_3d)
             evaluator = EvaluateVolume(args, dataset_dir,
                                        ["Background"] + list(args.classes))
             eval_fn = make_inline_eval_fn(evaluator, eval_metas,
                                           max_cases=args.eval_num)
+        else:
+            # reference default: cheap 2D batch-metric averaging over fixed
+            # eval batches (evaluator_liver.py:164-332, 2D branch)
+            eval_fn = _make_online_eval(args, dataset_dir)
 
     max_steps = args.num_of_steps or args.num_of_total_steps
     try:
@@ -201,6 +227,36 @@ def train(args, dataset_dir, logger):
         dataset.close()
         trainer.ckpt.close()
     logger.info("Training finished at step %d", trainer.global_step)
+
+
+def _make_online_eval(args, dataset_dir, num_batches: int = 0):
+    """OnlineEval2D over the eval split with deterministic eval-mode device
+    processing (reference get_val_loader semantics for nf_inter; 2D
+    batch-metric averaging for the plain pipelines)."""
+    from boxsegliver_tpu.evaluators.online2d import OnlineEval2D
+
+    classes = ["Background"] + list(args.classes)
+    if is_inter(args):
+        from boxsegliver_tpu.data.pipeline_inter import make_inter_preprocess_fn
+        from boxsegliver_tpu.data.sampler_inter import InterSampler
+        sampler = InterSampler(dataset_dir, args, mode="eval",
+                               max_clicks=args.max_clicks)
+        process_fn = make_inter_preprocess_fn(args, train=False)
+    else:
+        import functools
+
+        from boxsegliver_tpu.data.pipeline import _process_batch
+        from boxsegliver_tpu.data.sampler import TrainSampler
+        sampler = TrainSampler(dataset_dir, args, mode="eval")
+        process_fn = functools.partial(
+            _process_batch, im_h=args.im_height, im_w=args.im_width,
+            noise_scale=0.0, random_flip=0,
+            use_spatial=bool(getattr(args, "use_spatial", False)),
+            min_std=float(getattr(args, "min_std", 2.0)))
+    return OnlineEval2D(sampler, args, process_fn, classes,
+                        num_batches=num_batches,
+                        use_global_dice=bool(getattr(args, "use_global_dice",
+                                                     False)))
 
 
 def _with_blank_guide(args, feats):
@@ -234,6 +290,22 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
         if restored is not None:
             trainer.state = restored
             logger.info("Restored best checkpoint")
+
+    if is_inter(args):
+        # batch-averaged metrics over the fixed validation batches (reference
+        # get_val_loader, NF/input_pipeline_g_simply.py:668-686); use
+        # cli.interactive_eval for the full click-refinement loop
+        import json
+
+        eval_fn = _make_online_eval(args, dataset_dir)
+        results = eval_fn(trainer)
+        out = Path(args.model_dir) / "eval_results_2d.txt"
+        with out.open("a") as f:
+            json.dump({"results": results}, f)
+            f.write("\n")
+        logger.info("Online eval: %s", results)
+        trainer.ckpt.close()
+        return results
 
     metas = load_meta(dataset_dir)
     folds = read_or_create_k_folds(

@@ -194,10 +194,19 @@ def add_pipeline_arguments(parser: argparse.ArgumentParser):
                        help="CT window level (HU)")
     group.add_argument("--random_window", action="store_true",
                        help="Randomly perturb window width/level in training")
-    group.add_argument("--zscore", action="store_true",
-                       help="Z-score normalization (NF MRI pipelines)")
-    group.add_argument("--gamma", action="store_true",
-                       help="Gamma augmentation (NF pipelines)")
+    group.add_argument("--zscore", "--use_zscore", dest="zscore",
+                       action="store_true",
+                       help="Z-score normalization; disables window/level "
+                            "(NF MRI pipelines, reference "
+                            "NF/input_pipeline_g.py:86)")
+    group.add_argument("--gamma", "--use_gamma", dest="gamma",
+                       action="store_true",
+                       help="Gamma augmentation (NF pipelines, reference "
+                            "NF/input_pipeline_g.py:87)")
+    group.add_argument("--no_gamma", action="store_true",
+                       help="Disable gamma augmentation in the nf_inter "
+                            "pipeline (the reference applies it always there, "
+                            "NF/input_pipeline_g_simply.py:510-513)")
     group.add_argument("--gamma_range", type=float, nargs=2, default=[0.7, 1.5])
     group.add_argument("--tumor_percent", type=float, default=0.5,
                        help="Fraction of training crops centered on tumors")
@@ -243,10 +252,24 @@ def add_pipeline_arguments(parser: argparse.ArgumentParser):
     group.add_argument("--max_objs", type=int, default=8,
                        help="Static padding size for per-slice guide objects")
     group.add_argument("--stddev", type=float, default=3.0,
-                       help="Click-guide Gaussian stddev (3D pipelines)")
+                       help="Click-guide Gaussian stddev (interactive "
+                            "pipelines)")
     group.add_argument("--local_enhance", action="store_true",
                        help="Gaussian click guides (default Euclidean, "
-                            "NF 3D pipeline)")
+                            "NF interactive pipelines)")
+    group.add_argument("--geodesic", action="store_true",
+                       help="Geodesic click guides via the C++ fast-marching "
+                            "kernel (reference "
+                            "NF/input_pipeline_g_simply.py:478-496)")
+    group.add_argument("--fp_sample", action="store_true",
+                       help="Negative clicks sampled from false-positive "
+                            "regions (needs <dataset>/neg cache, see "
+                            "data/sampler_inter.build_neg_cache)")
+    group.add_argument("--sample_neg", type=float, default=0.0,
+                       help="Fraction of training crops centered on "
+                            "false-positive voxels")
+    group.add_argument("--max_clicks", type=int, default=8,
+                       help="Static padding size for simulated click arrays")
     group.add_argument("--z_shards", type=int, default=0,
                        help="Shard whole-volume 3D eval over the depth axis "
                             "across this many devices (0 = off; new TPU "

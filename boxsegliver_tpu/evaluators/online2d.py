@@ -1,0 +1,83 @@
+"""Cheap 2D online evaluation: batch-metric averaging over fixed val batches.
+
+Re-implements the reference's default inline eval mode (reference
+evaluators/evaluator_liver.py:164-332, 2D branch: average the in-graph batch
+metrics over ``--eval_num_batches_per_epoch`` batches of the eval_online
+dataset, optionally accumulating a ConfusionMatrix for "global dice" under
+``--use_global_dice``) and the interactive pipeline's validation loader
+(reference NF/input_pipeline_g_simply.py:668-686 ``get_val_loader``: fixed
+numpy seed 1234, fixed zoom).
+
+TPU-first shape: the val batches are sampled ONCE at construction with a fixed
+RNG (so every epoch scores the same data), kept as host arrays, and pushed
+through the deterministic eval-mode device processing + the trainer's compiled
+predict step each epoch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+import jax
+import numpy as np
+
+from boxsegliver_tpu.ops.metrics import (ConfusionMatrix, metric_dice,
+                                          metric_vd, metric_voe)
+
+EVAL_SEED = 1234
+
+# 2D-computable metrics; surface metrics (ASSD/RMSD/MSD) need full volumes and
+# are only produced by the 3D evaluators (reference 2D mode has the same gap).
+_METRIC_FNS = {"dice": metric_dice, "voe": metric_voe, "vd": metric_vd,
+               "rvd": metric_vd}
+
+
+class OnlineEval2D:
+    """eval_fn(trainer) -> {'<Class>/<Metric>': float} over fixed batches.
+
+    sampler: any sampler with ``sample_batch(bs, rng=...)`` (TrainSampler or
+    InterSampler built on the eval split); process_fn(batch, key) -> (features,
+    labels) must be the DETERMINISTIC eval-mode processing (train=False).
+    """
+
+    def __init__(self, sampler, args, process_fn: Callable,
+                 classes: Sequence[str], num_batches: int = 0,
+                 use_global_dice: bool = False):
+        rng = np.random.RandomState(EVAL_SEED)
+        n = num_batches or int(getattr(args, "eval_num_batches_per_epoch", 100))
+        self.batches: List[Dict[str, np.ndarray]] = [
+            sampler.sample_batch(args.batch_size, rng=rng) for _ in range(n)]
+        self.process_fn = jax.jit(process_fn)
+        self.classes = list(classes)  # includes Background at index 0
+        self.metric_names = list(getattr(args, "metrics_eval", ["Dice"]))
+        self.use_global_dice = use_global_dice
+        self._key = jax.random.PRNGKey(EVAL_SEED)
+
+    def __call__(self, trainer) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        cms = {cls: ConfusionMatrix() for cls in self.classes[1:]}
+        count = 0
+        for batch in self.batches:
+            features, labels = self.process_fn(batch, self._key)
+            probs = trainer.predict(features)
+            probs, labels = jax.device_get((probs, labels))
+            count += 1
+            for i, cls in enumerate(self.classes):
+                if i == 0:
+                    continue
+                pred_i = (probs[..., i] > 0.5).astype(np.float32)
+                lab_i = (labels == i).astype(np.float32)
+                for met in self.metric_names:
+                    fn = _METRIC_FNS.get(met.lower())
+                    if fn is None:  # surface metrics need volumes, skip in 2D
+                        continue
+                    key = f"{cls}/{met}"
+                    val = float(fn(pred_i[..., None], lab_i[..., None]))
+                    sums[key] = sums.get(key, 0.0) + val
+                if self.use_global_dice:
+                    cms[cls].add(pred_i, lab_i)
+        out = {k: v / max(count, 1) for k, v in sums.items()}
+        if self.use_global_dice:
+            for cls, cm in cms.items():
+                out[f"{cls}/GlobalDice"] = cm.global_dice
+        return out

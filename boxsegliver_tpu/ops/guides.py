@@ -56,15 +56,28 @@ def gaussian_guide(shape, centers, stddevs, mask=None, keepdims: bool = True):
     return out[..., None] if keepdims else out
 
 
-def euclidean_guide(shape, centers, mask=None, keepdims: bool = True):
-    """Min-over-objects Euclidean distance map (reference image_ops.py:427-429)."""
+def euclidean_guide(shape, centers, mask=None, keepdims: bool = True,
+                    weights=None):
+    """Min-over-objects Euclidean distance map (reference image_ops.py:427-429).
+
+    weights: optional [ndim] per-axis multipliers applied to coordinate
+    differences.  The reference renders click guides at the (dynamic) crop
+    resolution and bilinear-resizes the distance map to the target size
+    (NF/input_pipeline_g_simply.py:435-527); with centers pre-scaled to target
+    coordinates and weights = crop/target, this static-shape render reproduces
+    those crop-unit distance values exactly.
+    """
     centers = jnp.asarray(centers, jnp.float32)
     if mask is None:
         mask = centers[:, 0] >= 0.0
     ndim = len(shape)
     coords = _coord_grid(shape)
     c = centers.reshape((-1,) + (1,) * ndim + (ndim,))
-    d = jnp.sqrt(jnp.sum((coords[None] - c) ** 2, axis=-1))       # [n, *shape]
+    diff = coords[None] - c
+    if weights is not None:
+        diff = diff * jnp.asarray(weights, jnp.float32).reshape(
+            (1,) + (1,) * ndim + (ndim,))
+    d = jnp.sqrt(jnp.sum(diff ** 2, axis=-1))                     # [n, *shape]
     big = jnp.asarray(sum(s**2 for s in shape), jnp.float32)
     d = jnp.where(mask.reshape((-1,) + (1,) * ndim), d, big)
     out = jnp.min(d, axis=0)
