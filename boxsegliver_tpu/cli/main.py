@@ -333,10 +333,15 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
 
     evaluator = EvaluateVolume(args, dataset_dir,
                                ["Background"] + list(args.classes))
-    # spatial-guided models use the interactive guide-propagation evaluator
-    # (reference entry/main_g.py:224-227: run_g when --use_spatial)
-    if getattr(args, "use_spatial", False) and not getattr(args, "eval_no_sp",
-                                                           False):
+    # spatial-guided models: Liver uses the interactive guide-propagation
+    # evaluator (reference entry/main_g.py:224-227 run_g); NF uses the fixed
+    # sp-point guides (reference NF get_dataset_for_sp_point)
+    if getattr(args, "use_spatial", False) and args.task == "nf":
+        results = evaluator.run_sp(trainer.predict, eval_metas,
+                                   save=args.save_predict or not do_eval,
+                                   do_eval=do_eval)
+    elif getattr(args, "use_spatial", False) and not getattr(args, "eval_no_sp",
+                                                             False):
         results = evaluator.run_g(trainer.predict, eval_metas,
                                   save=args.save_predict or not do_eval,
                                   do_eval=do_eval)

@@ -246,6 +246,9 @@ def add_pipeline_arguments(parser: argparse.ArgumentParser):
     group.add_argument("--save_sp_guide", action="store_true")
     group.add_argument("--use_se", action="store_true")
     group.add_argument("--eval_discount", type=float, default=0.85)
+    group.add_argument("--guide_scale", type=float, default=5.0,
+                       help="Base Gaussian stddev of sp-point eval guides "
+                            "(reference NF/input_pipeline_g.py:788)")
     group.add_argument("--real_sp", type=str, help="Path to real spatial guide")
     group.add_argument("--guide_channel", type=int, default=2,
                        help="Interactive guide channels (1 = fg-bg, 2 = both)")

@@ -27,7 +27,7 @@ from boxsegliver_tpu.ops.guides import gaussian_guide_2d, to_guided_range
 def _process_one(window, label, crop_hw, clip, pad_mask, key,
                  centers, stddevs, n_objs, context,
                  *, im_h: int, im_w: int, noise_scale: float, random_flip: int,
-                 use_spatial: bool, min_std: float):
+                 use_spatial: bool, min_std: float, **norm_kw):
     """Per-sample device processing (vmapped).
 
     Two input layouts (see sampler.TrainSampler resize_on_host):
@@ -46,13 +46,14 @@ def _process_one(window, label, crop_hw, clip, pad_mask, key,
     return _augment_tail(img, lab, clip, pad_mask, key, centers, stddevs,
                          n_objs, context, im_h=im_h, im_w=im_w,
                          noise_scale=noise_scale, random_flip=random_flip,
-                         use_spatial=use_spatial, min_std=min_std)
+                         use_spatial=use_spatial, min_std=min_std, **norm_kw)
 
 
 def _process_one_cached(zidx, lab_z, offset, crop_hw, clip, pad_mask, key,
                         centers, stddevs, n_objs, context, vol_cache, lab_cache,
                         *, im_h: int, im_w: int, noise_scale: float,
-                        random_flip: int, use_spatial: bool, min_std: float):
+                        random_flip: int, use_spatial: bool, min_std: float,
+                        **norm_kw):
     """Per-sample processing from the HBM-resident volume cache
     (data/device_cache.py): gather the 2.5D slice window by absolute z index,
     then crop/resize/augment — zero pixel bytes cross the host boundary."""
@@ -67,32 +68,51 @@ def _process_one_cached(zidx, lab_z, offset, crop_hw, clip, pad_mask, key,
     return _augment_tail(img, lab, clip, pad_mask, key, centers, stddevs,
                          n_objs, context, im_h=im_h, im_w=im_w,
                          noise_scale=noise_scale, random_flip=random_flip,
-                         use_spatial=use_spatial, min_std=min_std)
+                         use_spatial=use_spatial, min_std=min_std, **norm_kw)
 
 
 def _augment_tail(img, lab, clip, pad_mask, key, centers, stddevs, n_objs,
                   context, *, im_h: int, im_w: int, noise_scale: float,
-                  random_flip: int, use_spatial: bool, min_std: float):
-    """Shared per-sample augmentation: clip-normalize, guide render, noise,
-    joint flips (reference data_processing_train, input_pipeline_g.py:347-412)."""
+                  random_flip: int, use_spatial: bool, min_std: float,
+                  zscore: bool = False, use_gamma: bool = False,
+                  gamma_range: tuple = (0.7, 1.5), guide_bg: float = 0.5):
+    """Shared per-sample augmentation: normalize (window clip or nonzero
+    z-score), guide render, gamma, noise, joint flips (reference
+    data_processing_train: Liver input_pipeline_g.py:347-412; NF z-score/gamma
+    options NF/input_pipeline_g.py:295-373).
+
+    guide_bg: guide background value — the Liver pipeline remaps guides to
+    [0.5, 1] (input_pipeline_g.py:388-391), the NF pipeline keeps raw [0, 1]
+    Gaussians on a zero background (NF/input_pipeline_g.py:338-350)."""
     lab = lab.astype(jnp.int32)
 
-    # window-level clip-normalize (input_pipeline_g.py:362-363)
-    lo, hi = clip[0], clip[1]
-    img = (jnp.clip(img, lo, hi) - lo) / (hi - lo)
+    if zscore:
+        # nonzero z-score replaces window/level (NF/input_pipeline_g.py:310-317)
+        region = (img > 0).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(region), 1.0)
+        mean = jnp.sum(img * region) / cnt
+        var = jnp.sum(jnp.square(img - mean) * region) / cnt
+        img = (img - region * mean) / (region * jnp.sqrt(var) + 1e-8)
+    else:
+        # window-level clip-normalize (input_pipeline_g.py:362-363)
+        lo, hi = clip[0], clip[1]
+        img = (jnp.clip(img, lo, hi) - lo) / (hi - lo)
 
-    k_noise, k_flip = jax.random.split(key)
+    k_noise, k_flip, k_gamma = jax.random.split(key, 3)
     feats = {}
     if use_spatial:
         stds = jnp.maximum(stddevs, min_std)
         valid = (jnp.arange(centers.shape[0]) < n_objs)
         guide = gaussian_guide_2d((im_h, im_w), centers, stds, mask=valid)
-        guide = jnp.where(n_objs > 0, to_guided_range(guide),
-                          jnp.full((im_h, im_w, 1), 0.5, jnp.float32))
+        guide = jnp.where(n_objs > 0, to_guided_range(guide, guide_bg),
+                          jnp.full((im_h, im_w, 1), guide_bg, jnp.float32))
         feats["sp_guide"] = guide
     if context is not None:
         feats["context"] = context
 
+    if use_gamma:
+        img = image_ops.augment_gamma(k_gamma, img, gamma_range,
+                                      retain_stats=True, p_per_sample=0.3)
     if noise_scale > 0:
         img = image_ops.random_noise(k_noise, img, noise_scale)
         img = img * pad_mask[None, None, :]  # kill noise in padded z slices
@@ -112,7 +132,9 @@ def _augment_tail(img, lab, clip, pad_mask, key, centers, stddevs, n_objs,
 
 def _process_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
                    im_w: int, noise_scale: float, random_flip: int,
-                   use_spatial: bool, min_std: float, cache=None):
+                   use_spatial: bool, min_std: float, cache=None,
+                   zscore: bool = False, use_gamma: bool = False,
+                   gamma_range: tuple = (0.7, 1.5), guide_bg: float = 0.5):
     """Whole-batch processing body: returns (features dict, labels[bs,h,w]).
 
     Three input layouts (sampler.TrainSampler): host-resized pixels,
@@ -126,7 +148,8 @@ def _process_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
     ctx_ax = 0 if context is not None else None
     static = dict(im_h=im_h, im_w=im_w, noise_scale=noise_scale,
                   random_flip=random_flip, use_spatial=use_spatial,
-                  min_std=min_std)
+                  min_std=min_std, zscore=zscore, use_gamma=use_gamma,
+                  gamma_range=tuple(gamma_range), guide_bg=guide_bg)
 
     if "zidx" in batch:
         fn = functools.partial(_process_one_cached, **static)
@@ -149,8 +172,19 @@ def _process_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
 
 
 process_train_batch = functools.partial(jax.jit, static_argnames=(
-    "im_h", "im_w", "noise_scale", "random_flip", "use_spatial",
-    "min_std"))(_process_batch)
+    "im_h", "im_w", "noise_scale", "random_flip", "use_spatial", "min_std",
+    "zscore", "use_gamma", "gamma_range", "guide_bg"))(_process_batch)
+
+
+def norm_statics(args) -> Dict:
+    """Modality-dependent normalization/augment statics for _process_batch:
+    z-score + gamma options (NF, reference NF/input_pipeline_g.py:249 kwargs)
+    and the guide background value (0.5 Liver remap vs 0.0 NF raw Gaussian)."""
+    nf = getattr(args, "task", "liver").startswith("nf")
+    return dict(zscore=bool(getattr(args, "zscore", False)),
+                use_gamma=bool(getattr(args, "gamma", False)),
+                gamma_range=tuple(getattr(args, "gamma_range", (0.7, 1.5))),
+                guide_bg=0.0 if nf else 0.5)
 
 
 def make_preprocess_fn(args, cache=None):
@@ -161,6 +195,8 @@ def make_preprocess_fn(args, cache=None):
     cache: a data/device_cache.DeviceVolumeCache — its HBM arrays are closed
     over (they keep their replicated sharding as implicit jit operands) and
     the batch is expected in the sampler's index layout."""
+    statics = norm_statics(args)
+
     def fn(batch, key):
         return _process_batch(
             batch, key, im_h=args.im_height, im_w=args.im_width,
@@ -168,7 +204,7 @@ def make_preprocess_fn(args, cache=None):
             random_flip=int(args.random_flip),
             use_spatial=bool(getattr(args, "use_spatial", False)),
             min_std=float(getattr(args, "min_std", 2.0)),
-            cache=cache)
+            cache=cache, **statics)
     return fn
 
 
@@ -239,7 +275,8 @@ class TrainDataset:
             noise_scale=float(args.noise_scale),
             random_flip=int(args.random_flip),
             use_spatial=bool(getattr(args, "use_spatial", False)),
-            min_std=float(getattr(args, "min_std", 2.0)))
+            min_std=float(getattr(args, "min_std", 2.0)),
+            **norm_statics(args))
 
     def close(self):
         self._stop.set()

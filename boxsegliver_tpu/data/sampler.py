@@ -153,6 +153,10 @@ class TrainSampler:
         self.tumor_cases = [i for i, c in enumerate(self.cases) if c["slices"]]
         if not self.cases:
             raise ValueError(f"No cases for mode={mode} in {dataset_dir}")
+        # NF MRI normalization window (reference NF/input_pipeline_g.py:
+        # 464-470: fixed (0, 900), random upper (800, 1000)); z-score makes
+        # the clip a no-op placeholder
+        self.nf = getattr(args, "task", "liver").startswith("nf")
 
     @staticmethod
     def _parse_context_list(raw) -> List[Tuple[str, int]]:
@@ -328,7 +332,12 @@ class TrainSampler:
                 out["label"][j] = lab
             out["pad_mask"][j] = pad
             out["names"][j] = pid
-            if getattr(args, "random_window", False):
+            if self.nf:
+                if getattr(args, "random_window", False):
+                    out["clip"][j] = (0.0, _randint(rng, 800, 1000) * IM_SCALE)
+                else:
+                    out["clip"][j] = (0.0, 900.0 * IM_SCALE)
+            elif getattr(args, "random_window", False):
                 out["clip"][j] = (_randint(rng, 10, 50) * IM_SCALE,
                                   _randint(rng, 500, 540) * IM_SCALE)
             else:

@@ -71,11 +71,25 @@ def aligned_bbox(case_meta: Dict, align: int = 16, padding: int = 25,
 
 def parse_case_eval(case_meta: Dict, dataset_dir, im_channel: int = 3,
                     align: int = 16, padding: int = 25, padding_z: int = 0,
-                    parse_label: bool = True) -> EvalCase:
-    """Load + crop + normalize one case from the npy cache."""
+                    parse_label: bool = True, norm: str = "window",
+                    whole_frame: bool = False) -> EvalCase:
+    """Load + crop + normalize one case from the npy cache.
+
+    norm: 'window' — CT re-window to [-200, 250] HU → [0, 1] (Liver,
+    input_pipeline_g.py:893); 'nf_clip' — clip(0, 900)/900 (NF,
+    NF/input_pipeline_g.py:701); 'nf_zscore' — per-slice nonzero z-score
+    (NF/input_pipeline_g.py:703-705).
+    whole_frame: skip the organ-bbox crop and evaluate the full frame (the NF
+    pipelines have no organ label to crop to, NF/input_pipeline_g.py:691-719).
+    """
     root = Path(dataset_dir)
     pid = int(case_meta["PID"])
-    z1, z2, y1, y2, x1, x2 = aligned_bbox(case_meta, align, padding, padding_z)
+    if whole_frame:
+        d0, h0, w0 = case_meta["size"]
+        z1, z2, y1, y2, x1, x2 = 0, d0, 0, h0, 0, w0
+    else:
+        z1, z2, y1, y2, x1, x2 = aligned_bbox(case_meta, align, padding,
+                                              padding_z)
     d = case_meta["size"][0]
 
     vol_u16 = np.load(root / f"volume-{pid}" / "volume.npy", mmap_mode="r")
@@ -86,11 +100,22 @@ def parse_case_eval(case_meta: Dict, dataset_dir, im_channel: int = 3,
     crop_z1 = max(0, z1 - lhc)
     crop_z2 = min(d, z2 + rhc)
     vol = np.asarray(vol_u16[crop_z1:crop_z2, y1:y2, x1:x2], np.float32)
-    # stored = (clip(HU) - GRAY_MIN) * IM_SCALE; re-window to [-200, 250] HU
-    # and normalize to [0, 1] (input_pipeline_g.py:893 with its GRAY_* pair)
-    lo = (W_GRAY_MIN - GRAY_MIN) * IM_SCALE
-    hi = (W_GRAY_MAX - GRAY_MIN) * IM_SCALE
-    vol = (np.clip(vol, lo, hi) - lo) / (hi - lo)
+    if norm == "window":
+        # stored = (clip(HU) - GRAY_MIN) * IM_SCALE; re-window to [-200, 250]
+        # HU and normalize to [0, 1] (input_pipeline_g.py:893)
+        lo = (W_GRAY_MIN - GRAY_MIN) * IM_SCALE
+        hi = (W_GRAY_MAX - GRAY_MIN) * IM_SCALE
+        vol = (np.clip(vol, lo, hi) - lo) / (hi - lo)
+    elif norm == "nf_clip":
+        vol = np.clip(vol, 0.0, 900.0 * IM_SCALE) / (900.0 * IM_SCALE)
+    elif norm == "nf_zscore":
+        for i in range(vol.shape[0]):
+            nz = vol[i] > 0
+            if nz.any():
+                vol[i] = (vol[i] - nz * vol[i][nz].mean()) / \
+                    (nz * vol[i][nz].std() + 1e-8)
+    else:
+        raise ValueError(f"Unknown norm mode {norm!r}")
     if left_pad or right_pad:
         vol = np.concatenate([
             np.zeros((left_pad,) + vol.shape[1:], np.float32), vol,
@@ -111,7 +136,8 @@ def parse_case_eval(case_meta: Dict, dataset_dir, im_channel: int = 3,
 def slice_batches(case: EvalCase, batch_size: int, pshape: Tuple[int, int],
                   eval_mirror: bool = False, random_flip: int = 3,
                   context: Optional[np.ndarray] = None,
-                  sp_guide: Optional[np.ndarray] = None
+                  sp_guide: Optional[np.ndarray] = None,
+                  guide_bg: float = 0.5
                   ) -> Iterator[Dict[str, np.ndarray]]:
     """Fixed-shape [bs, ph, pw, C] slice batches over the case's z range,
     batch-padded at the end, with optional mirror-TTA variants
@@ -119,7 +145,10 @@ def slice_batches(case: EvalCase, batch_size: int, pshape: Tuple[int, int],
 
     Each yielded dict carries 'mirror' ∈ {0,1,2,3} and 'pads' on the LAST
     non-mirror batch.  sp_guide, when given, is [cz, ch, cw] float32 aligned
-    to the cropped volume and travels through the same resize+mirror.
+    to the cropped volume — or already at [cz, ph, pw] (NF sp-point guides are
+    rendered at target resolution) — and travels through the same
+    resize+mirror.  guide_bg fills batch-padding guide slices (0.5 Liver
+    convention, 0.0 NF).
     """
     import cv2
 
@@ -144,16 +173,19 @@ def slice_batches(case: EvalCase, batch_size: int, pshape: Tuple[int, int],
 
     guide_prep = None
     if sp_guide is not None:
+        guide_at_pshape = sp_guide.shape[1:] == tuple(pshape)
+
         def guide_prep(z):
             g = sp_guide[z][..., None]
-            if need_resize:
+            if need_resize and not guide_at_pshape:
                 g = cv2.resize(g, (pshape[1], pshape[0]),
                                interpolation=cv2.INTER_LINEAR)[..., None]
             return g
 
     for b in range(n_batches):
         images = np.zeros((batch_size,) + tuple(pshape) + (c,), np.float32)
-        guides = (np.full((batch_size,) + tuple(pshape) + (1,), 0.5, np.float32)
+        guides = (np.full((batch_size,) + tuple(pshape) + (1,), guide_bg,
+                          np.float32)
                   if sp_guide is not None else None)
         for j in range(batch_size):
             z = b * batch_size + j

@@ -55,6 +55,15 @@ class EvaluateVolume(EvaluateBase):
             raw = getattr(args, "context_list", None) or ["hist", "200"]
             self.context_list = [(raw[i], int(raw[i + 1]))
                                  for i in range(0, len(raw), 2)]
+        # modality-dependent volume normalization + whole-frame eval (the NF
+        # pipelines have no organ bbox to crop to and z-score/clip(0,900)
+        # normalize, reference NF/input_pipeline_g.py:691-719)
+        self.nf = getattr(args, "task", "liver").startswith("nf")
+        if self.nf:
+            self.norm = ("nf_zscore" if getattr(args, "zscore", False)
+                         else "nf_clip")
+        else:
+            self.norm = "window"
 
     # ------------------------------------------------------------------
     # per-case prediction
@@ -75,7 +84,8 @@ class EvaluateVolume(EvaluateBase):
         for batch in slice_batches(case, args.batch_size, pshape,
                                    eval_mirror=getattr(args, "eval_mirror", False),
                                    random_flip=getattr(args, "random_flip", 3),
-                                   context=context, sp_guide=sp_guide):
+                                   context=context, sp_guide=sp_guide,
+                                   guide_bg=0.0 if self.nf else 0.5):
             mirror = batch.pop("mirror")
             pads = batch.pop("pads") or pads
             feats = {k: v for k, v in batch.items() if k != "names"}
@@ -249,7 +259,8 @@ class EvaluateVolume(EvaluateBase):
             t0 = time.time()
             case = parse_case_eval(meta, self.dataset_dir,
                                    im_channel=args.im_channel,
-                                   parse_label=do_eval)
+                                   parse_label=do_eval, norm=self.norm,
+                                   whole_frame=self.nf)
             context = None
             if self.context_list is not None:
                 context = load_eval_context(self.dataset_dir, case.pid,
@@ -275,6 +286,87 @@ class EvaluateVolume(EvaluateBase):
             if save:
                 vol = (np.argmax(probs3d, -1).astype(np.uint8)
                        if args.pred_type == "pred" else probs3d)
+                self.save_case(case, vol, save_path or
+                               Path(args.model_dir) / args.save_path,
+                               dtype=args.pred_type)
+            n += 1
+            msg = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
+            logger.info("Evaluate-%d case %s %s (%.3f s)", n, case.pid, msg,
+                        time.time() - t0)
+        results = self.mean_metrics()
+        if accumulator:
+            for cls in self.classes:
+                denom = (2 * accumulator[cls + "_tp"] + accumulator[cls + "_fn"]
+                         + accumulator[cls + "_fp"])
+                results["G" + cls + "Dice"] = (
+                    2 * accumulator[cls + "_tp"] / denom if denom else 0.0)
+        display = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
+        logger.info("----Process %d cases %s", n, display)
+        self._persist_results(results)
+        return results
+
+    def run_sp(self, predict_fn: Callable, case_metas: Iterable[Dict],
+               save: bool = False, save_path=None, do_eval: bool = True
+               ) -> Dict[str, float]:
+        """NF sp-point guided evaluation (reference get_dataset_for_sp_point,
+        NF/input_pipeline_g.py:721-830): whole-frame volume, per-slice FIXED
+        Gaussian guides at the GT tumor centers with constant base stddev
+        --guide_scale (both scaled from original to target resolution),
+        attenuated by --eval_discount, zero background, no propagation.
+        --real_sp substitutes real user interactions; --eval_no_sp zeros all
+        guides.  Deviation: real_sp guides are rendered at target resolution
+        with scaled moments instead of rendered-then-resized (exact vs
+        resampled)."""
+        import json
+
+        args = self.args
+        real_meta = None
+        rsp = getattr(args, "real_sp", None)
+        if rsp and Path(rsp).exists():
+            real_meta = json.loads(Path(rsp).read_text())
+
+        self.clear_metrics()
+        accumulator: Dict[str, int] = defaultdict(int)
+        pshape = (args.im_height, args.im_width)
+        n = 0
+        skip = getattr(args, "eval_skip_num", 0)
+        limit = getattr(args, "eval_num", -1)
+        for meta in list(case_metas)[skip:]:
+            if 0 < limit <= n:
+                break
+            t0 = time.time()
+            case = parse_case_eval(meta, self.dataset_dir,
+                                   im_channel=args.im_channel,
+                                   parse_label=do_eval, norm=self.norm,
+                                   whole_frame=True)
+            guide = np.zeros((case.depth,) + pshape, np.float32)
+            scale = np.asarray(pshape, np.float32) / \
+                np.asarray(case.oshape[1:], np.float32)
+            spid = str(case.pid)
+            if real_meta is not None and spid in real_meta:
+                for ssid, g in real_meta[spid].items():
+                    centers = np.asarray(g["centers"], np.float32) * scale
+                    stddevs = np.asarray(g["stddevs"], np.float32) * scale
+                    guide[int(ssid)] = array_kits.create_gaussian_distribution_v2(
+                        pshape, centers, stddevs) * args.eval_discount
+            elif not getattr(args, "eval_no_sp", False):
+                ft = meta["tumor_slices_from_to"]
+                for k, sid in enumerate(meta["tumor_slices_index"]):
+                    centers = np.asarray(
+                        meta["tumor_slices_centers"][ft[k]:ft[k + 1]],
+                        np.float32) * scale
+                    stddevs = np.full(centers.shape, args.guide_scale,
+                                      np.float32) * scale
+                    guide[sid] = array_kits.create_gaussian_distribution_v2(
+                        pshape, centers, stddevs) * args.eval_discount
+            probs = self.predict_case(predict_fn, case, sp_guide=guide)
+            results = {}
+            if do_eval:
+                results = self.evaluate_case(case, probs, accumulator)
+                self.append_metrics(results)
+            if save:
+                vol = (np.argmax(probs, -1).astype(np.uint8)
+                       if args.pred_type == "pred" else probs)
                 self.save_case(case, vol, save_path or
                                Path(args.model_dir) / args.save_path,
                                dtype=args.pred_type)
@@ -323,7 +415,8 @@ class EvaluateVolume(EvaluateBase):
             t0 = time.time()
             case = parse_case_eval(meta, self.dataset_dir,
                                    im_channel=args.im_channel,
-                                   parse_label=do_eval)
+                                   parse_label=do_eval, norm=self.norm,
+                                   whole_frame=self.nf)
             if getattr(args, "eval_in_patches", False):
                 probs = self.predict_case_patches(predict_fn, case)
             else:
