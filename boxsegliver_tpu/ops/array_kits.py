@@ -174,101 +174,143 @@ def get_largest_component(inputs: np.ndarray, rank: int, connectivity: int = 1):
     return (labeled_res == largest).astype(np.int8)
 
 
+# MAD → stddev consistency factor for normal data (the reference hard-codes
+# the same constant, :387-440); parity pinned by tests/test_golden.py.
+_MAD_TO_STD = 1.4826
+
+
 def compute_robust_moments(binary_image: np.ndarray, isotropic: bool = False,
                            indexing: str = "ij", min_std: float = 0.0):
-    """Median center + 1.4826*MAD stddev of a binary object (reference :387-440)."""
+    """Outlier-robust object moments: median center and MAD-derived stddev
+    per axis (semantics of reference :387-440).  Empty masks yield (-1, -1)
+    vectors — the padding convention the guide renderers mask out."""
+    if indexing not in ("ij", "xy", "", None):
+        raise ValueError("Valid values for `indexing` are 'xy' and 'ij'.")
     ndim = binary_image.ndim
-    coords = np.nonzero(binary_image)
-    points = np.asarray(coords).astype(np.float32)
-    if points.shape[1] == 0:
-        return (np.array([-1.0] * ndim, dtype=np.float32),
-                np.array([-1.0] * ndim, dtype=np.float32))
-    points = np.transpose(points)
-    center = np.median(points, axis=0)
+    pts = np.argwhere(binary_image).astype(np.float32)      # [n, ndim], ij
+    if not len(pts):
+        empty = np.full(ndim, -1.0, np.float32)
+        return empty, empty.copy()
+    center = np.median(pts, axis=0).astype(np.float32)
     if isotropic:
-        diff = np.linalg.norm(points - center, axis=1)
-        mad = np.array([np.median(diff)] * ndim)
+        radial = np.linalg.norm(pts - center, axis=1)
+        mad = np.full(ndim, np.median(radial), np.float32)
     else:
-        diff = np.absolute(points - center)
-        mad = np.median(diff, axis=0)
-    std_dev = np.maximum(1.4826 * mad, [min_std] * ndim)
-    if not indexing or indexing == "xy":
-        return center[::-1], std_dev[::-1]
+        mad = np.median(np.abs(pts - center), axis=0)
+    std = np.maximum(_MAD_TO_STD * mad, min_std).astype(np.float32)
     if indexing == "ij":
-        return center.astype(np.float32), std_dev.astype(np.float32)
-    raise ValueError("Valid values for `indexing` are 'xy' and 'ij'.")
+        return center, std
+    return center[::-1], std[::-1]                           # xy order
+
+
+def _index_grid(shape, indexing: str = "ij") -> np.ndarray:
+    """[*shape, ndim] stack of per-axis indices (float32)."""
+    axes = [np.arange(s, dtype=np.float32) for s in shape]
+    return np.stack(np.meshgrid(*axes, indexing=indexing), axis=-1)
 
 
 def create_gaussian_distribution(shape, center, stddev):
-    """Single-object Gaussian map; center/stddev in xy order (reference :443-449)."""
-    stddev = np.asarray(stddev, np.float32)
-    center = np.asarray(center, np.float32)
-    coords = [np.arange(0, s) for s in shape]
-    coords = np.stack(np.meshgrid(*coords, indexing="ij"), axis=-1)
-    normalizer = 2 * (stddev * stddev)
-    d = np.exp(-np.sum((coords - center[::-1]) ** 2 / normalizer[::-1], axis=-1))
-    return np.clip(d, 0, 1).astype(np.float32)
+    """Single Gaussian bump; center/stddev given in xy order
+    (semantics of reference :443-449)."""
+    center = np.asarray(center, np.float32)[::-1]            # → ij
+    stddev = np.asarray(stddev, np.float32)[::-1]
+    sq = ((_index_grid(shape) - center) / stddev) ** 2
+    return np.clip(np.exp(-0.5 * sq.sum(axis=-1)), 0.0, 1.0).astype(np.float32)
 
 
 def create_gaussian_distribution_v2(shape, centers, stddevs=None, indexing="ij",
                                     keepdims=False, euclidean=False):
-    """Multi-object Gaussian / Euclidean map (reference :452-486)."""
+    """Multi-object map: max-over-objects Gaussian, or min-over-objects
+    Euclidean distance when `euclidean` (semantics of reference :452-486).
+    centers/stddevs: [n, ndim] in `indexing` order."""
     centers = np.asarray(centers, np.float32)
     assert centers.ndim == 2, centers.shape
-    coords = [np.arange(0, s) for s in shape]
-    coords = np.stack(np.meshgrid(*coords, indexing=indexing), axis=-1)[None]
-    coords = np.tile(coords, [centers.shape[0]] + [1] * (centers.shape[1] + 1))
-    coords = coords.astype(np.float32)
-    c_sh = centers.shape
-    centers = centers.reshape(c_sh[:1] + (1,) * c_sh[-1] + c_sh[-1:])
+    n, ndim = centers.shape
+    grid = _index_grid(shape, indexing)[None]                # [1, *shape, ndim]
+    per_obj = (n,) + (1,) * ndim + (ndim,)
+    diff = grid - centers.reshape(per_obj)                   # [n, *shape, ndim]
     if euclidean:
-        d = np.sqrt(np.sum((coords - centers) ** 2, axis=-1, keepdims=keepdims))
-        return np.min(d, axis=0)
-    stddevs = np.asarray(stddevs, np.float32)
-    stddevs = stddevs.reshape(c_sh[:1] + (1,) * c_sh[-1] + c_sh[-1:])
-    normalizer = 2 * stddevs * stddevs
-    d = np.exp(-np.sum((coords - centers) ** 2 / normalizer, axis=-1, keepdims=keepdims))
-    return np.max(d, axis=0)
+        dist = np.sqrt((diff ** 2).sum(axis=-1, keepdims=keepdims))
+        return dist.min(axis=0)
+    stddevs = np.asarray(stddevs, np.float32).reshape(per_obj)
+    expo = (0.5 * (diff / stddevs) ** 2).sum(axis=-1, keepdims=keepdims)
+    return np.exp(-expo).max(axis=0)
+
+
+def perturbed_moments(mask, rng, center_perturb: float = 0.0,
+                      stddev_perturb: float = 0.0, min_std: float = 0.0,
+                      indexing: str = "ij"):
+    """Robust moments with training-time jitter: the center moves by up to
+    ±center_perturb stddevs, the stddev scales within
+    [1/(1+p), 1+p] (perturbation model of reference :489-569)."""
+    center, std = compute_robust_moments(mask, indexing=indexing,
+                                         min_std=min_std)
+    ndim = mask.ndim
+    jitter = rng.uniform(-center_perturb, center_perturb, ndim)
+    scale = rng.uniform(1.0 / (1.0 + stddev_perturb), 1.0 + stddev_perturb,
+                        ndim)
+    return center + jitter * std, std * scale
+
+
+def _guide_slice_of(labels, partial_slice: str) -> int:
+    """z index carrying the guide when only one slice is annotated."""
+    zs = np.flatnonzero(labels.reshape(labels.shape[0], -1).any(axis=1))
+    return int(zs[0] if partial_slice == "first" else zs[(len(zs) - 1) // 2])
 
 
 def get_gd_image_single_obj(labels, center_perturb=0.2, stddev_perturb=0.4,
                             blank_prob=0, partial=False, partial_slice="first",
                             only_moments=False, min_std=0.0, indexing="ij",
                             keepdims=False, rng=None):
-    """Perturbed Gaussian guide for a single object (reference :489-569)."""
+    """Perturbed Gaussian guide for one binary object (semantics of reference
+    :489-569).  partial=True annotates only the first/middle slice of a 3D
+    object.  Returns gd (or (gd, center, std); or (slice_idx, center, std)
+    with only_moments)."""
     rng = rng or np.random
     if partial_slice not in ("first", "middle"):
         raise ValueError(f"Only support `first` and `middle`, got {partial_slice}")
     labels = np.asarray(labels, dtype=np.float32)
-    ndim = labels.ndim
-    if partial and ndim != 3:
+    if partial and labels.ndim != 3:
         raise ValueError("If `partial` is True, `labels` must have rank 3")
-    if not np.any(labels) or rng.uniform() < blank_prob:
+    if not labels.any() or rng.uniform() < blank_prob:
         return np.zeros(labels.shape)
 
-    idx = -1
-    if partial:
-        indices = np.where(np.count_nonzero(labels, axis=(1, 2)) > 0)[0]
-        idx = indices[0] if partial_slice == "first" else indices[(len(indices) - 1) // 2]
-        obj_lab = labels[idx]
-        obj_ndim = ndim - 1
-    else:
-        obj_lab = labels
-        obj_ndim = ndim
-
-    center, std = compute_robust_moments(obj_lab, indexing=indexing, min_std=min_std)
-    center_p = rng.uniform(-center_perturb, center_perturb, obj_ndim) * std + center
-    std_p = rng.uniform(1.0 / (1 + stddev_perturb), 1.0 + stddev_perturb, obj_ndim) * std
+    z = _guide_slice_of(labels, partial_slice) if partial else -1
+    plane = labels[z] if partial else labels
+    center, std = perturbed_moments(plane, rng, center_perturb,
+                                    stddev_perturb, min_std, indexing)
     if only_moments:
-        return idx, center_p, std_p
+        return z, center, std
 
-    cur_gd = create_gaussian_distribution_v2(obj_lab.shape, [center_p], [std_p],
-                                             indexing=indexing, keepdims=keepdims)
+    bump = create_gaussian_distribution_v2(plane.shape, [center], [std],
+                                           indexing=indexing,
+                                           keepdims=keepdims)
     if partial:
-        gd = np.zeros_like(labels, dtype=np.float32)
-        gd[idx] = cur_gd
-        return gd, center_p, std_p
-    return cur_gd, center_p, std_p
+        out = np.zeros_like(labels, dtype=np.float32)
+        out[z] = bump
+        return out, center, std
+    return bump, center, std
+
+
+def _random_fake_guides(labels, stds, rng, fake_rate, max_fakes,
+                        fake_range_value):
+    """Decoy Gaussian bumps over non-object territory (reference :617-640):
+    count ∝ fake_rate · #objects, stddevs drawn between min(std)/2 and
+    max(std) of the real objects."""
+    count = min(int(fake_rate * len(stds)), max_fakes)
+    if count <= 0:
+        return []
+    candidates = np.argwhere(labels == fake_range_value)
+    if not len(candidates):
+        return []
+    lo, hi = np.min(stds) / 2.0, np.max(stds)
+    fakes = []
+    for _ in range(count):
+        center_ij = candidates[rng.randint(0, len(candidates))]
+        stddev = (lo + rng.uniform() * (hi - lo), lo + rng.uniform() * (hi - lo))
+        fakes.append(create_gaussian_distribution(labels.shape,
+                                                  center_ij[::-1], stddev))
+    return fakes
 
 
 def get_gd_image_multi_objs(labels, obj_value=1, center_perturb=0.0,
@@ -277,66 +319,56 @@ def get_gd_image_multi_objs(labels, obj_value=1, center_perturb=0.0,
                             max_fakes=4, fake_range_value=0, ret_bbox=False,
                             partial_slice="first", keepdims=False, min_std=0.0,
                             rng=None, **kwargs):
-    """Perturbed Gaussian guide over all connected objects (reference :572-691)."""
+    """Max-merged perturbed Gaussian guides over every connected object, with
+    optional decoy guides (semantics of reference :572-691)."""
     rng = rng or np.random
     labels = np.asarray(labels, dtype=np.uint32)
-    ndim = labels.ndim
-    if not np.any(labels):
+    if not labels.any():
         return np.zeros(labels.shape)
 
-    obj_labels = merge_labels(labels, [0, obj_value])
-    disc = ndi.generate_binary_structure(ndim, connectivity=connectivity)
-    labeled_image, num_obj = ndi.label(obj_labels, structure=disc)
+    binary = merge_labels(labels, [0, obj_value])
+    struct = ndi.generate_binary_structure(labels.ndim, connectivity)
+    components, n_objs = ndi.label(binary, structure=struct)
 
-    gds, stds = [], []
-    for n in range(num_obj):
+    guides, obj_stds = [], []
+    for i in range(1, n_objs + 1):
         gd, _, std = get_gd_image_single_obj(
-            labeled_image == n + 1, center_perturb, stddev_perturb, blank_prob,
-            partial, partial_slice, keepdims=keepdims, min_std=min_std, rng=rng)
-        gds.append(gd)
-        stds.append(std)
+            components == i, center_perturb, stddev_perturb, blank_prob,
+            partial, partial_slice, keepdims=keepdims, min_std=min_std,
+            rng=rng)
+        guides.append(gd)
+        obj_stds.append(std)
 
-    fks = []
     if with_fake_guides:
-        number_of_fakes = int(fake_rate * num_obj)
-        if number_of_fakes > 0:
-            search_region = list(zip(*np.where(labels == fake_range_value)))
-            if search_region:
-                lo_std, hi_std = np.min(stds) / 2, np.max(stds)
-                for _ in range(min(number_of_fakes, max_fakes)):
-                    center = search_region[rng.randint(0, len(search_region))]
-                    stddev = (rng.uniform() * (hi_std - lo_std) + lo_std,
-                              rng.uniform() * (hi_std - lo_std) + lo_std)
-                    fks.append(create_gaussian_distribution(
-                        labels.shape, np.asarray(center)[::-1], stddev))
-
-    if not gds and not fks:
+        guides += _random_fake_guides(labels, obj_stds, rng, fake_rate,
+                                      max_fakes, fake_range_value)
+    if not guides:
         return np.zeros(labels.shape)
-    merged_gd = functools.reduce(np.maximum, gds + fks)
+    merged = functools.reduce(np.maximum, guides)
 
     if ret_bbox:
-        bboxes = [bbox_from_mask(labeled_image == n + 1, 1, **kwargs)
-                  for n in range(num_obj)]
-        return merged_gd, bboxes
-    return merged_gd
+        bboxes = [bbox_from_mask(components == i, 1, **kwargs)
+                  for i in range(1, n_objs + 1)]
+        return merged, bboxes
+    return merged
 
 
 def get_moments_multi_objs(labels, obj_value=1, blank_prob=0, connectivity=1,
                            partial=False, partial_slice="middle", indexing="ij",
                            min_std=0.0, rng=None):
-    """Moments (center/std) per connected object (reference :694-777)."""
+    """Moments (center/std) per connected object (semantics of reference
+    :694-777)."""
     rng = rng or np.random
     labels = np.asarray(labels, dtype=np.uint32)
-    ndim = labels.ndim
-    if not np.any(labels):
+    if not labels.any():
         return [], []
-    obj_labels = merge_labels(labels, [0, obj_value])
-    disc = ndi.generate_binary_structure(ndim, connectivity=connectivity)
-    labeled_image, num_obj = ndi.label(obj_labels, structure=disc)
+    binary = merge_labels(labels, [0, obj_value])
+    struct = ndi.generate_binary_structure(labels.ndim, connectivity)
+    components, n_objs = ndi.label(binary, structure=struct)
     centers, stds = [], []
-    for n in range(num_obj):
+    for i in range(1, n_objs + 1):
         res = get_gd_image_single_obj(
-            labeled_image == n + 1, 0.0, 0.0, blank_prob, partial, partial_slice,
+            components == i, 0.0, 0.0, blank_prob, partial, partial_slice,
             only_moments=True, min_std=min_std, indexing=indexing, rng=rng)
         if isinstance(res, tuple):
             _, center, std = res
@@ -419,20 +451,26 @@ def ascent_line(img: np.ndarray, x0: int, y0: int, x1: int, y1: int) -> bool:
 
 def find_tp_and_fp(result: np.ndarray, reference: np.ndarray,
                    connectivity: int = 1):
-    """Split predicted objects into true positives (overlapping a reference
-    object) and false positives (reference utils/array_kits.py:987-1036).
+    """Split predicted objects into true positives and false positives
+    (reference utils/array_kits.py:1008-1035): a predicted object whose Dice
+    against the (undifferentiated) reference foreground is < 0.1 counts as a
+    false positive — marginal grazing overlaps are still FPs.
     Returns (tp_mask, fp_mask)."""
     disc = ndi.generate_binary_structure(result.ndim, connectivity)
     labeled, n = ndi.label(result, disc)
     tp = np.zeros_like(result, bool)
     fp = np.zeros_like(result, bool)
     ref = reference.astype(bool)
-    for i in range(1, n + 1):
+    for sli, i in zip(ndi.find_objects(labeled), range(1, n + 1)):
         obj = labeled == i
-        if (obj & ref).any():
-            tp |= obj
-        else:
+        obj_w = labeled[sli] == i
+        ref_w = ref[sli]
+        denom = obj_w.sum() + ref_w.sum()
+        dice = 2.0 * np.count_nonzero(obj_w & ref_w) / denom if denom else 0.0
+        if dice < 0.1:
             fp |= obj
+        else:
+            tp |= obj
     return tp, fp
 
 

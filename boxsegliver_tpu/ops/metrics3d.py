@@ -88,34 +88,69 @@ def metric_3d(logits3d: np.ndarray, labels3d: np.ndarray,
     return out
 
 
+def _object_dice(mask_a: np.ndarray, mask_b: np.ndarray) -> float:
+    inter = np.count_nonzero(mask_a & mask_b)
+    denom = np.count_nonzero(mask_a) + np.count_nonzero(mask_b)
+    return 2.0 * inter / denom if denom else 0.0
+
+
 def distinct_binary_object_correspondences(result: np.ndarray, reference: np.ndarray,
                                            iou_thresh: float = 0.5,
                                            connectivity: int = 1):
-    """Match connected components between result and reference by IoU
-    (reference utils/array_kits.py:883-984 semantics: greedy one-to-one match,
-    a result object corresponds to a reference object when IoU >= thresh)."""
+    """Match connected components between result and reference
+    (reference utils/array_kits.py:883-984 semantics): iterate REFERENCE
+    objects; a reference object overlapped by exactly one unused result
+    object is matched when their Dice (the reference computes medpy dc, not
+    true IoU, despite the flag name) >= iou_thresh; reference objects
+    overlapped by several result objects are resolved afterwards —
+    fewest-candidates first, candidates tried in descending overlap area.
+
+    Returns (labeled_res, labeled_ref, n_res, n_ref,
+    {ref_obj_id: [res_obj_id, dice]}).
+    """
     struct = ndi.generate_binary_structure(result.ndim, connectivity)
     labeled_res, n_res = ndi.label(result.astype(bool), struct)
     labeled_ref, n_ref = ndi.label(reference.astype(bool), struct)
 
     mapping = {}
-    used_ref = set()
-    for ri in range(1, n_res + 1):
-        rmask = labeled_res == ri
-        cand = np.unique(labeled_ref[rmask])
-        best_iou, best_ref = 0.0, 0
-        for ci in cand:
-            if ci == 0 or ci in used_ref:
-                continue
-            cmask = labeled_ref == ci
-            inter = np.count_nonzero(rmask & cmask)
-            union = np.count_nonzero(rmask | cmask)
-            iou = inter / union if union else 0.0
-            if iou > best_iou:
-                best_iou, best_ref = iou, int(ci)
-        if best_ref and best_iou >= iou_thresh:
-            mapping[ri] = best_ref
-            used_ref.add(best_ref)
+    used = set()
+    deferred = []  # (ref_id, {res_id: overlap_count})
+    for sli, ref_id in zip(ndi.find_objects(labeled_ref), range(1, n_ref + 1)):
+        obj_mask = labeled_ref[sli] == ref_id
+        res_ids, counts = np.unique(labeled_res[sli][obj_mask],
+                                    return_counts=True)
+        keep = res_ids != 0
+        res_ids, counts = res_ids[keep], counts[keep]
+        if len(res_ids) == 1:
+            res_id = int(res_ids[0])
+            if res_id not in used:
+                dice = _object_dice(labeled_ref == ref_id,
+                                    labeled_res == res_id)
+                if dice >= iou_thresh:
+                    mapping[ref_id] = [res_id, dice]
+                    used.add(res_id)
+        elif len(res_ids) > 1:
+            deferred.append((ref_id, {int(r): int(c)
+                                      for r, c in zip(res_ids, counts)}))
+
+    # one-to-many resolution: fewest remaining candidates first, candidates
+    # popped in descending overlap area (reference Jset.pop, :856-862)
+    while True:
+        deferred = [(rid, {r: c for r, c in cand.items() if r not in used})
+                    for rid, cand in deferred]
+        deferred = sorted((d for d in deferred if d[1]),
+                          key=lambda x: len(x[1]))
+        if not deferred:
+            break
+        ref_id, cand = deferred[0]
+        ref_mask = labeled_ref == ref_id
+        for res_id, _ in sorted(cand.items(), key=lambda x: -x[1]):
+            dice = _object_dice(ref_mask, labeled_res == res_id)
+            if dice >= iou_thresh:
+                mapping[ref_id] = [res_id, dice]
+                used.add(res_id)
+                break
+        deferred = deferred[1:]
     return labeled_res, labeled_ref, n_res, n_ref, mapping
 
 
