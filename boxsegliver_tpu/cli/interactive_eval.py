@@ -97,7 +97,9 @@ def main(argv=None):
             res = interactive_eval_3d(
                 trainer.predict, vol, lab, dice_thresh=args.dice_thresh,
                 max_iters=args.max_iters, stddev=args.guide_stddev,
-                tta=args.tta)
+                tta=args.tta,
+                use_cascade=bool(getattr(args, "use_cascade", False)),
+                cascade_binary=bool(getattr(args, "cascade_binary", False)))
         logger.info("case %s: Dice=%.3f clicks=%.1f", pid, res["Dice"],
                     res["clicks"])
         all_results.append(res)

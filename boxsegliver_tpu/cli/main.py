@@ -23,7 +23,7 @@ from pathlib import Path
 from boxsegliver_tpu import config as config_mod
 from boxsegliver_tpu.utils.logger import setup_logger
 
-TASKS = ("liver", "nf", "nf_inter", "synthetic")
+TASKS = ("liver", "only_liver", "tumor", "nf", "nf_inter", "synthetic")
 
 
 def get_args(argv=None):
@@ -39,7 +39,8 @@ def get_args(argv=None):
     config_mod.fill_default_args(args)
     args.task = task
     if args.dataset == "synthetic" and task != "synthetic":
-        args.dataset = {"liver": "LiTS", "nf": "NF", "nf_inter": "NF"}[task]
+        args.dataset = {"liver": "LiTS", "only_liver": "LiTS", "tumor": "LiTS",
+                        "nf": "NF", "nf_inter": "NF"}[task]
     return args
 
 
@@ -69,8 +70,9 @@ def build_feature_template(args):
     import numpy as np
     if is_3d(args):
         depth = args.im_depth if args.im_depth > 0 else 8
+        ch = 2 if getattr(args, "use_cascade", False) else 1
         feats = {"images": np.zeros(
-            (args.batch_size, depth, args.im_height, args.im_width, 1),
+            (args.batch_size, depth, args.im_height, args.im_width, ch),
             np.float32)}
         if getattr(args, "use_spatial", False):
             gc = int(getattr(args, "guide_channel", 2))
@@ -93,6 +95,44 @@ def build_feature_template(args):
         length = sum(int(raw[i + 1]) for i in range(0, len(raw), 2))
         feats["context"] = np.zeros((args.batch_size, length), np.float32)
     return feats
+
+
+def build_frozen_2d_predict(args):
+    """Frozen click-guided 2D model predict fn from --ckpt_2d (reference
+    entry/infer_2d.py:32-80 InferenceWithGuide2D)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from flax.core import FrozenDict
+
+    from boxsegliver_tpu.models import build_model, load_model_config
+    from boxsegliver_tpu.train.checkpoint import warm_start
+    from boxsegliver_tpu.train.trainer import TrainState, make_eval_step
+    import jax
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    model = build_model(args.model_2d, args=args,
+                        model_kwargs=load_model_config(args.model_2d),
+                        num_classes=len(args.classes) + 1, dtype=dtype)
+    feats = {"images": np.zeros((1, args.im_height, args.im_width,
+                                 args.im_channel), np.float32),
+             "sp_guide": np.zeros((1, args.im_height, args.im_width, 2),
+                                  np.float32)}
+    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=(), lr_scale=jnp.ones((), jnp.float32))
+    state = warm_start(state, args.ckpt_2d)
+    eval_step = jax.jit(make_eval_step(model))
+    return lambda f: eval_step(state, f)
+
+
+def build_cascade2d(args):
+    """CascadeClick2D for the training-time frozen-2D cascade channel."""
+    from boxsegliver_tpu.interactive.cascade import CascadeClick2D
+    return CascadeClick2D(build_frozen_2d_predict(args),
+                          im_height=args.im_height, im_width=args.im_width,
+                          im_channel=args.im_channel)
 
 
 def build_trainer(args, dataset_dir, fuse_preprocess=False, cache=None):
@@ -179,7 +219,14 @@ def train(args, dataset_dir, logger):
     # the dataset yields raw host batches
     if is_3d(args):
         from boxsegliver_tpu.data.sampler3d import Sampler3D
-        sampler = Sampler3D(dataset_dir, args, mode="train", seed=args.seed)
+        cascade2d = None
+        if getattr(args, "use_cascade", False) and getattr(args, "use_2d",
+                                                           False):
+            if not getattr(args, "ckpt_2d", None):
+                raise SystemExit("--use_cascade --use_2d needs --ckpt_2d")
+            cascade2d = build_cascade2d(args)
+        sampler = Sampler3D(dataset_dir, args, mode="train", seed=args.seed,
+                            cascade2d=cascade2d)
     elif is_inter(args):
         from boxsegliver_tpu.data.sampler_inter import InterSampler
         sampler = InterSampler(dataset_dir, args, mode="train", seed=args.seed,
@@ -245,14 +292,16 @@ def _make_online_eval(args, dataset_dir, num_batches: int = 0):
     else:
         import functools
 
-        from boxsegliver_tpu.data.pipeline import _process_batch
+        from boxsegliver_tpu.data.pipeline import _process_batch, norm_statics
         from boxsegliver_tpu.data.sampler import TrainSampler
         sampler = TrainSampler(dataset_dir, args, mode="eval")
+        statics = norm_statics(args)
+        statics["use_gamma"] = False  # deterministic eval processing
         process_fn = functools.partial(
             _process_batch, im_h=args.im_height, im_w=args.im_width,
             noise_scale=0.0, random_flip=0,
             use_spatial=bool(getattr(args, "use_spatial", False)),
-            min_std=float(getattr(args, "min_std", 2.0)))
+            min_std=float(getattr(args, "min_std", 2.0)), **statics)
     return OnlineEval2D(sampler, args, process_fn, classes,
                         num_batches=num_batches,
                         use_global_dice=bool(getattr(args, "use_global_dice",
@@ -327,7 +376,27 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
                                           make_mesh(z_shards), z_shards)
         else:
             predict = lambda f: trainer.predict(_with_blank_guide(args, f))
-        results = ev3.run(predict, eval_metas, do_eval=do_eval)
+        cascade = None
+        if getattr(args, "use_cascade", False) and getattr(args, "ckpt_2d",
+                                                           None):
+            import numpy as np
+
+            from boxsegliver_tpu.interactive.cascade import Cascade2D
+            p2d = build_frozen_2d_predict(args)
+
+            def p2d_blank(feats):  # whole-volume cascade: no clicks → blank
+                if "sp_guide" not in feats:
+                    shape = feats["images"].shape[:-1] + (2,)
+                    feats = dict(feats, sp_guide=np.zeros(shape, np.float32))
+                return p2d(feats)
+
+            cascade = Cascade2D(
+                p2d_blank, batch_size=args.batch_size,
+                im_channel=args.im_channel,
+                channel_mode="binary" if args.cascade_binary else "edt",
+                tau=25.0)
+        results = ev3.run(predict, eval_metas, do_eval=do_eval,
+                          cascade=cascade)
         trainer.ckpt.close()
         return results
 

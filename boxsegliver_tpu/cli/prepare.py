@@ -44,6 +44,20 @@ def main(argv=None):
     p.add_argument("--cases", type=int, default=4)
     p.add_argument("--depth", type=int, default=24)
     p.add_argument("--size", type=int, default=256)
+    p.add_argument("--modality", choices=["liver", "nf"], default="liver")
+
+    p = sub.add_parser("infer_context", help="Histogram context from REAL "
+                       "user interactions (reference gen_infer_context)")
+    p.add_argument("--dst", required=True)
+    p.add_argument("--guide_file", required=True,
+                   help="JSON {pid: {sid: [{center, stddev, z}]}}")
+    p.add_argument("--bins", type=int, default=100)
+
+    p = sub.add_parser("negcache", help="False-positive negatives cache from "
+                       "saved predictions (nf_inter --fp_sample)")
+    p.add_argument("--dst", required=True)
+    p.add_argument("--pred_dir", required=True)
+    p.add_argument("--min_size", type=int, default=5)
 
     args = parser.parse_args(argv)
 
@@ -74,8 +88,18 @@ def main(argv=None):
     elif args.cmd == "synthetic":
         from boxsegliver_tpu.data.synthetic import make_synthetic_dataset
         root = make_synthetic_dataset(args.dst, n_cases=args.cases,
-                                      shape=(args.depth, args.size, args.size))
+                                      shape=(args.depth, args.size, args.size),
+                                      modality=args.modality)
         print(f"Synthetic dataset → {root}")
+    elif args.cmd == "infer_context":
+        from boxsegliver_tpu.data.meta import gen_infer_context
+        written = gen_infer_context(args.dst, args.guide_file, bins=args.bins)
+        print("\n".join(written))
+    elif args.cmd == "negcache":
+        from boxsegliver_tpu.data.sampler_inter import build_neg_cache
+        written = build_neg_cache(args.pred_dir, args.dst,
+                                  min_size=args.min_size)
+        print(f"Negatives cache: {len(written)} cases → {args.dst}/neg")
 
 
 if __name__ == "__main__":

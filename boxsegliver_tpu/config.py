@@ -273,6 +273,20 @@ def add_pipeline_arguments(parser: argparse.ArgumentParser):
                             "false-positive voxels")
     group.add_argument("--max_clicks", type=int, default=8,
                        help="Static padding size for simulated click arrays")
+    group.add_argument("--use_cascade", action="store_true",
+                       help="2D->3D cascade: add a frozen-2D (or GT-oracle) "
+                            "prediction channel to the 3D net input "
+                            "(reference NF/input_pipeline_3d.py:474-539)")
+    group.add_argument("--cascade_binary", action="store_true",
+                       help="Binary cascade channel instead of boundary-EDT")
+    group.add_argument("--use_2d", action="store_true",
+                       help="Cascade channel from the frozen 2D model "
+                            "(--ckpt_2d) instead of the GT oracle")
+    group.add_argument("--ckpt_2d", type=str,
+                       help="Frozen 2D-model checkpoint for the cascade / "
+                            "hybrid entry (reference main_train_hybrid.py)")
+    group.add_argument("--model_2d", type=str, default="UNetInter",
+                       help="Architecture of the frozen 2D cascade model")
     group.add_argument("--z_shards", type=int, default=0,
                        help="Shard whole-volume 3D eval over the depth axis "
                             "across this many devices (0 = off; new TPU "

@@ -264,6 +264,65 @@ def dump_hist_features(dataset_dir, out_dir=None, modes=("train", "eval"),
     return out
 
 
+def gen_infer_context(dataset_dir, guide_file, bins: int = 100,
+                      xrng: Tuple[float, float] = (GRAY_MIN + 50, GRAY_MAX - 50),
+                      out_dir=None) -> List[str]:
+    """Infer-time histogram context from REAL user interactions
+    (reference gen_infer_context, Liver/extract.py:742-793): the user marks
+    each tumor with an ellipse (center/stddev, z-range) in guide_file
+    ({pid: {sid: [{center, stddev, z}]}}); pixels inside the ellipse
+    (stddev scaled by the 0.7413 MAD factor) are tiled over the z-range and
+    histogrammed like the eval-time guide features.  Writes
+    feat/hist/infer/<PID>.npy."""
+    import json as _json
+
+    root = Path(dataset_dir)
+    with Path(guide_file).open() as f:
+        guide_list = _json.load(f)
+    metas = {int(m["PID"]): m for m in load_meta(root)}
+    out = Path(out_dir) if out_dir else root / "feat" / "hist" / "infer"
+    out.mkdir(parents=True, exist_ok=True)
+
+    written = []
+    for pid_str, guide in guide_list.items():
+        pid = int(pid_str)
+        case = metas[pid]
+        d, hgt, wid = case["size"]
+        gpl: List[List[List[int]]] = [[[], [], []] for _ in range(d)]
+        yy, xx = np.meshgrid(np.arange(hgt), np.arange(wid), indexing="ij")
+        coords = np.stack([yy, xx], axis=-1)
+        for sid_str, objs in guide.items():
+            sid = int(sid_str)  # annotated slice: its pixels are tiled over z
+            for t in objs:
+                radii = np.asarray(t["stddev"], np.float64) / 0.7413
+                inside = np.sum(((coords - np.asarray(t["center"])) / radii) ** 2,
+                                axis=-1) <= 1
+                pi, pj = np.where(inside)
+                for m in range(t["z"][0], t["z"][1]):
+                    if 0 <= m < d:
+                        gpl[m][0].extend([sid] * len(pi))
+                        gpl[m][1].extend(pi.tolist())
+                        gpl[m][2].extend(pj.tolist())
+
+        case_dir = root / f"volume-{pid}"
+        volume = np.load(case_dir / "volume.npy").astype(np.float32) / IM_SCALE \
+            + GRAY_MIN
+        labels = np.load(case_dir / "segmentation.npy")
+        hists = np.zeros((d, bins * 2), np.float32)
+        for n in range(d):
+            with np.errstate(invalid="ignore"):
+                v1, _ = np.histogram(volume[n][labels[n] >= 1], bins=bins,
+                                     range=xrng, density=True)
+                v2, _ = np.histogram(volume[gpl[n][0], gpl[n][1], gpl[n][2]],
+                                     bins=bins, range=xrng, density=True)
+            hists[n, :bins] = np.nan_to_num(v1.astype(np.float32))
+            hists[n, bins:] = np.nan_to_num(v2.astype(np.float32))
+        path = out / ("%03d.npy" % pid)
+        np.save(path, hists)
+        written.append(str(path))
+    return written
+
+
 # ---------------------------------------------------------------------------
 # Simulated user prior (reference extract.py:664-717)
 # ---------------------------------------------------------------------------

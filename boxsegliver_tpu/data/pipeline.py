@@ -75,7 +75,8 @@ def _augment_tail(img, lab, clip, pad_mask, key, centers, stddevs, n_objs,
                   context, *, im_h: int, im_w: int, noise_scale: float,
                   random_flip: int, use_spatial: bool, min_std: float,
                   zscore: bool = False, use_gamma: bool = False,
-                  gamma_range: tuple = (0.7, 1.5), guide_bg: float = 0.5):
+                  gamma_range: tuple = (0.7, 1.5), guide_bg: float = 0.5,
+                  label_mode: str = "none"):
     """Shared per-sample augmentation: normalize (window clip or nonzero
     z-score), guide render, gamma, noise, joint flips (reference
     data_processing_train: Liver input_pipeline_g.py:347-412; NF z-score/gamma
@@ -83,8 +84,15 @@ def _augment_tail(img, lab, clip, pad_mask, key, centers, stddevs, n_objs,
 
     guide_bg: guide background value — the Liver pipeline remaps guides to
     [0.5, 1] (input_pipeline_g.py:388-391), the NF pipeline keeps raw [0, 1]
-    Gaussians on a zero background (NF/input_pipeline_g.py:338-350)."""
+    Gaussians on a zero background (NF/input_pipeline_g.py:338-350).
+    label_mode: 'liver01' merges tumor into liver (the only_liver task,
+    reference Liver/input_pipeline_li.py), 'tumor' keeps only the tumor
+    class (reference Tumor/input_pipeline.py)."""
     lab = lab.astype(jnp.int32)
+    if label_mode == "liver01":
+        lab = jnp.clip(lab, 0, 1)
+    elif label_mode == "tumor":
+        lab = (lab == 2).astype(jnp.int32)
 
     if zscore:
         # nonzero z-score replaces window/level (NF/input_pipeline_g.py:310-317)
@@ -134,7 +142,8 @@ def _process_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
                    im_w: int, noise_scale: float, random_flip: int,
                    use_spatial: bool, min_std: float, cache=None,
                    zscore: bool = False, use_gamma: bool = False,
-                   gamma_range: tuple = (0.7, 1.5), guide_bg: float = 0.5):
+                   gamma_range: tuple = (0.7, 1.5), guide_bg: float = 0.5,
+                   label_mode: str = "none"):
     """Whole-batch processing body: returns (features dict, labels[bs,h,w]).
 
     Three input layouts (sampler.TrainSampler): host-resized pixels,
@@ -149,7 +158,8 @@ def _process_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
     static = dict(im_h=im_h, im_w=im_w, noise_scale=noise_scale,
                   random_flip=random_flip, use_spatial=use_spatial,
                   min_std=min_std, zscore=zscore, use_gamma=use_gamma,
-                  gamma_range=tuple(gamma_range), guide_bg=guide_bg)
+                  gamma_range=tuple(gamma_range), guide_bg=guide_bg,
+                  label_mode=label_mode)
 
     if "zidx" in batch:
         fn = functools.partial(_process_one_cached, **static)
@@ -173,18 +183,23 @@ def _process_batch(batch: Dict[str, jnp.ndarray], key, *, im_h: int,
 
 process_train_batch = functools.partial(jax.jit, static_argnames=(
     "im_h", "im_w", "noise_scale", "random_flip", "use_spatial", "min_std",
-    "zscore", "use_gamma", "gamma_range", "guide_bg"))(_process_batch)
+    "zscore", "use_gamma", "gamma_range", "guide_bg",
+    "label_mode"))(_process_batch)
+
+_TASK_LABEL_MODES = {"only_liver": "liver01", "tumor": "tumor"}
 
 
 def norm_statics(args) -> Dict:
-    """Modality-dependent normalization/augment statics for _process_batch:
-    z-score + gamma options (NF, reference NF/input_pipeline_g.py:249 kwargs)
-    and the guide background value (0.5 Liver remap vs 0.0 NF raw Gaussian)."""
-    nf = getattr(args, "task", "liver").startswith("nf")
+    """Modality/task-dependent statics for _process_batch: z-score + gamma
+    options (NF, reference NF/input_pipeline_g.py:249 kwargs), the guide
+    background value (0.5 Liver remap vs 0.0 NF raw Gaussian), and the task's
+    label mapping (only_liver / tumor variants)."""
+    task = getattr(args, "task", "liver")
     return dict(zscore=bool(getattr(args, "zscore", False)),
                 use_gamma=bool(getattr(args, "gamma", False)),
                 gamma_range=tuple(getattr(args, "gamma_range", (0.7, 1.5))),
-                guide_bg=0.0 if nf else 0.5)
+                guide_bg=0.0 if task.startswith("nf") else 0.5,
+                label_mode=_TASK_LABEL_MODES.get(task, "none"))
 
 
 def make_preprocess_fn(args, cache=None):

@@ -20,10 +20,16 @@ from boxsegliver_tpu.ops import image_ops
 from boxsegliver_tpu.ops.guides import euclidean_guide, gaussian_guide
 
 
-def _process_one_3d(patch, label, fg_pts, bg_pts, key, *, stddev: float,
-                    local_enhance: bool, guide_channel: int,
-                    random_flip: int, gamma: bool, use_spatial: bool):
+def _process_one_3d(patch, label, fg_pts, bg_pts, cascade, key, *,
+                    stddev: float, local_enhance: bool, guide_channel: int,
+                    random_flip: int, gamma: bool, use_spatial: bool,
+                    use_cascade: bool):
     img = image_ops.zscore(patch.astype(jnp.float32))[..., None]  # [d,h,w,1]
+    if use_cascade:
+        # frozen-2D / GT-oracle channel: travels through flips but is kept
+        # out of z-score and gamma (reference data_processing_2c,
+        # input_pipeline_3d.py:412-472)
+        img = jnp.concatenate([img, cascade[..., None]], axis=-1)
     lab = label.astype(jnp.int32)
     shape = patch.shape                                           # (d, h, w)
 
@@ -54,36 +60,43 @@ def _process_one_3d(patch, label, fg_pts, bg_pts, key, *, stddev: float,
     if random_flip:
         joint, lab = image_ops.random_flip(k_flip, joint, lab, flip=random_flip)
 
+    n_im = 2 if use_cascade else 1
     img = joint[..., :1]
     if gamma:
         img = image_ops.augment_gamma(k_gamma, img, (0.7, 1.5),
                                       retain_stats=True, p_per_sample=0.3)
+    if use_cascade:
+        img = jnp.concatenate([img, joint[..., 1:2]], axis=-1)
     feats["images"] = img
     if use_spatial:
-        feats["sp_guide"] = joint[..., 1:]
+        feats["sp_guide"] = joint[..., n_im:]
     return feats, lab
 
 
 def _process_batch_3d(batch: Dict, key, *, stddev: float, local_enhance: bool,
                       guide_channel: int, random_flip: int, gamma: bool,
-                      use_spatial: bool):
+                      use_spatial: bool, use_cascade: bool = False):
     bs = batch["patch"].shape[0]
     keys = jax.random.split(key, bs)
     fg = batch.get("fg_pts", jnp.full((bs, 1, 3), -1.0, jnp.float32))
     bg = batch.get("bg_pts", jnp.full((bs, 1, 3), -1.0, jnp.float32))
+    cascade = batch.get("cascade")
+    if cascade is None:
+        cascade = jnp.zeros(batch["patch"].shape, jnp.float32)
     fn = functools.partial(_process_one_3d, stddev=stddev,
                            local_enhance=local_enhance,
                            guide_channel=guide_channel,
                            random_flip=random_flip, gamma=gamma,
-                           use_spatial=use_spatial)
-    feats, labels = jax.vmap(fn)(batch["patch"], batch["label"], fg, bg, keys)
+                           use_spatial=use_spatial, use_cascade=use_cascade)
+    feats, labels = jax.vmap(fn)(batch["patch"], batch["label"], fg, bg,
+                                 cascade, keys)
     feats["names"] = batch["names"]
     return feats, labels
 
 
 process_train_batch_3d = functools.partial(jax.jit, static_argnames=(
     "stddev", "local_enhance", "guide_channel", "random_flip", "gamma",
-    "use_spatial"))(_process_batch_3d)
+    "use_spatial", "use_cascade"))(_process_batch_3d)
 
 
 def make_preprocess_fn_3d(args):
@@ -95,5 +108,6 @@ def make_preprocess_fn_3d(args):
             guide_channel=int(getattr(args, "guide_channel", 2)),
             random_flip=int(args.random_flip),
             gamma=bool(getattr(args, "gamma", False)),
-            use_spatial=bool(getattr(args, "use_spatial", False)))
+            use_spatial=bool(getattr(args, "use_spatial", False)),
+            use_cascade=bool(getattr(args, "use_cascade", False)))
     return fn

@@ -156,7 +156,12 @@ class TrainSampler:
         # NF MRI normalization window (reference NF/input_pipeline_g.py:
         # 464-470: fixed (0, 900), random upper (800, 1000)); z-score makes
         # the clip a no-op placeholder
-        self.nf = getattr(args, "task", "liver").startswith("nf")
+        self.task = getattr(args, "task", "liver")
+        self.nf = self.task.startswith("nf")
+        # only_liver (reference Liver/input_pipeline_li.py:250-310): no
+        # tumor-centered sampling, liver_percent forcing only, uniform crop
+        # offsets, random window always on in training
+        self.liver_only = self.task == "only_liver"
 
     @staticmethod
     def _parse_context_list(raw) -> List[Tuple[str, int]]:
@@ -239,7 +244,8 @@ class TrainSampler:
         rng = rng if rng is not None else self.rng
         args = self.args
         target = np.asarray(self.target, np.float32)
-        force_tumor = math.ceil(batch_size * args.tumor_percent)
+        force_tumor = (0 if self.liver_only
+                       else math.ceil(batch_size * args.tumor_percent))
         force_liver = math.ceil(batch_size * args.guide_percent)
 
         ci1 = rng.choice(self.tumor_cases or [0], force_tumor, True)
@@ -306,8 +312,12 @@ class TrainSampler:
                 if sid in case["tumor_slices_index"]:
                     ind = case["tumor_slices_index"].index(sid)
 
-            off_y = _crop_offset(rng, (obj_bb[0], obj_bb[2]), crop[0], size[1])
-            off_x = _crop_offset(rng, (obj_bb[1], obj_bb[3]), crop[1], size[2])
+            if self.liver_only:  # plain uniform offsets (input_pipeline_li.py)
+                off_y = _randint(rng, 0, max(size[1] - crop[0], 0))
+                off_x = _randint(rng, 0, max(size[2] - crop[1], 0))
+            else:
+                off_y = _crop_offset(rng, (obj_bb[0], obj_bb[2]), crop[0], size[1])
+                off_x = _crop_offset(rng, (obj_bb[1], obj_bb[3]), crop[1], size[2])
 
             if self.zbase is not None:
                 base, depth = self.zbase[pid]
@@ -337,7 +347,8 @@ class TrainSampler:
                     out["clip"][j] = (0.0, _randint(rng, 800, 1000) * IM_SCALE)
                 else:
                     out["clip"][j] = (0.0, 900.0 * IM_SCALE)
-            elif getattr(args, "random_window", False):
+            elif getattr(args, "random_window", False) or \
+                    (self.liver_only and self.mode == "train"):
                 out["clip"][j] = (_randint(rng, 10, 50) * IM_SCALE,
                                   _randint(rng, 500, 540) * IM_SCALE)
             else:

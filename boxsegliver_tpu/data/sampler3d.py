@@ -40,7 +40,11 @@ class Sampler3D:
 
     def __init__(self, dataset_dir, args, mode: str = "train",
                  pids: Optional[Sequence[int]] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, cascade2d=None):
+        """cascade2d: interactive.cascade.CascadeClick2D for the frozen-2D
+        cascade channel (--use_cascade --use_2d, reference gen_kernel,
+        input_pipeline_3d.py:508-534); without it --use_cascade uses the
+        GT-oracle channel."""
         self.root = Path(dataset_dir)
         self.args = args
         metas = load_meta(self.root)
@@ -59,6 +63,9 @@ class Sampler3D:
         self.patch = (args.im_depth if args.im_depth > 0 else 8,
                       args.im_height, args.im_width)
         self.use_spatial = bool(getattr(args, "use_spatial", False))
+        self.use_cascade = bool(getattr(args, "use_cascade", False))
+        self.cascade_binary = bool(getattr(args, "cascade_binary", False))
+        self.cascade2d = cascade2d
         self.max_clicks = int(getattr(args, "max_objs", 8))
         self.tumor_cases = [i for i, m in enumerate(self.metas) if m["tumors"]]
         # cache foreground voxel lists lazily
@@ -102,9 +109,12 @@ class Sampler3D:
             "label": np.zeros((batch_size, d, h, w), np.uint8),
             "names": np.zeros((batch_size,), np.int32),
         }
-        if self.use_spatial:
+        need_clicks = self.use_spatial or self.use_cascade
+        if need_clicks:
             out["fg_pts"] = -np.ones((batch_size, self.max_clicks, 3), np.float32)
             out["bg_pts"] = -np.ones((batch_size, self.max_clicks, 3), np.float32)
+        if self.use_cascade:
+            out["cascade"] = np.zeros((batch_size, d, h, w), np.float32)
 
         for j in range(batch_size):
             if j < force_tumor and self.tumor_cases:
@@ -134,8 +144,26 @@ class Sampler3D:
             out["patch"][j] = vp
             out["label"][j] = lp
             out["names"][j] = pid
-            if self.use_spatial:
+            if need_clicks:
                 fg, bg = self._clicks(lp, rng)
                 out["fg_pts"][j] = fg
                 out["bg_pts"][j] = bg
+                if self.use_cascade:
+                    out["cascade"][j] = self._cascade_channel(vp, lp, fg, bg)
+        if not self.use_spatial and need_clicks:
+            # clicks were only needed to place the cascade channel
+            out.pop("fg_pts")
+            out.pop("bg_pts")
         return out
+
+    def _cascade_channel(self, vp: np.ndarray, lp: np.ndarray,
+                         fg: np.ndarray, bg: np.ndarray) -> np.ndarray:
+        """Frozen-2D or GT-oracle extra channel (reference gen_kernel,
+        input_pipeline_3d.py:508-534)."""
+        from boxsegliver_tpu.interactive.cascade import gt_cascade_channel
+
+        if self.cascade2d is not None:
+            return self.cascade2d.extra_channel_from_clicks(
+                vp, fg, bg, binary=self.cascade_binary)
+        return gt_cascade_channel((lp > 0).astype(np.uint8), fg,
+                                  binary=self.cascade_binary)

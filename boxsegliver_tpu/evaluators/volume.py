@@ -64,6 +64,11 @@ class EvaluateVolume(EvaluateBase):
                          else "nf_clip")
         else:
             self.norm = "window"
+        # only_liver / tumor task variants score against remapped GT
+        # (reference Liver/input_pipeline_li.py / Tumor/input_pipeline.py)
+        self.gt_label_mode = {"only_liver": "liver01",
+                              "tumor": "tumor"}.get(
+            getattr(args, "task", "liver"), "none")
 
     # ------------------------------------------------------------------
     # per-case prediction
@@ -174,7 +179,12 @@ class EvaluateVolume(EvaluateBase):
         pred = np.argmax(probs, axis=-1).astype(np.uint8)
         pred = self._resize_pred_to_crop(pred, case.segmentation.shape[1:])
         vols = self.postprocess(pred)
-        labs = self.postprocess(case.segmentation.astype(np.int32), is_label=True)
+        seg = case.segmentation.astype(np.int32)
+        if self.gt_label_mode == "liver01":
+            seg = np.clip(seg, 0, 1)
+        elif self.gt_label_mode == "tumor":
+            seg = (seg == 2).astype(np.int32)
+        labs = self.postprocess(seg, is_label=True)
         results = {}
         for cls in self.classes:
             if accumulator is not None:
@@ -278,6 +288,8 @@ class EvaluateVolume(EvaluateBase):
                     loader.set_last_pred(
                         (merged.argmax(-1) == tumor_id).astype(np.uint8))
                 volumes[direction] = np.stack(chunks, axis=0)
+                if getattr(args, "save_sp_guide", False):
+                    loader.save_guides(Path(args.model_dir) / "sp_guide")
             probs3d = np.maximum(volumes["Forward"], volumes["Backward"][::-1])
             results = {}
             if do_eval:

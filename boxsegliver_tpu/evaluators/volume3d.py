@@ -105,13 +105,18 @@ class EvaluateVolume3D(EvaluateBase):
         self.dataset_dir = Path(dataset_dir)
         self.align = align
 
-    def predict_case(self, predict_fn: Callable, volume: np.ndarray
-                     ) -> np.ndarray:
-        """z-score + pad + (whole or sliding-window) forward → probs."""
-        import jax
+    def predict_case(self, predict_fn: Callable, volume: np.ndarray,
+                     cascade=None) -> np.ndarray:
+        """z-score + pad + (whole or sliding-window) forward → probs.
 
+        cascade: optional interactive.cascade.Cascade2D — its frozen-2D
+        prediction channel is appended to the network input (reference
+        main_eval_3d.py:348-369 / input_pipeline_3d.py:474-539)."""
         args = self.args
         vol = np.asarray(_zscore_jnp(volume.astype(np.float32)))[..., None]
+        if cascade is not None:
+            extra = cascade.extra_channel(vol[..., 0])
+            vol = np.concatenate([vol, extra[..., None]], axis=-1)
         padded, pads = pad_to_multiple(vol, self.align)
         if args.im_depth > 0 and padded.shape[0] > args.im_depth:
             probs = sliding_window_3d(
@@ -127,7 +132,7 @@ class EvaluateVolume3D(EvaluateBase):
         return probs
 
     def run(self, predict_fn: Callable, case_metas: Iterable[Dict],
-            do_eval: bool = True) -> Dict[str, float]:
+            do_eval: bool = True, cascade=None) -> Dict[str, float]:
         args = self.args
         self.clear_metrics()
         accumulator: Dict[str, int] = defaultdict(int)
@@ -140,7 +145,7 @@ class EvaluateVolume3D(EvaluateBase):
             pid = int(meta["PID"])
             vol = np.load(self.dataset_dir / f"volume-{pid}" / "volume.npy")
             lab = np.load(self.dataset_dir / f"volume-{pid}" / "segmentation.npy")
-            probs = self.predict_case(predict_fn, vol)
+            probs = self.predict_case(predict_fn, vol, cascade=cascade)
             pred = probs.argmax(-1).astype(np.uint8)
             results = {}
             if do_eval:

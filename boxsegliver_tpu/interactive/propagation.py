@@ -109,6 +109,7 @@ class GuidePropagationLoader:
             self._last_guide = guide / 2 + GUIDE_BG
         else:
             self._last_guide = np.full(self.pshape, GUIDE_BG, np.float32)
+        self.sp_guides.append(self._last_guide.copy())
 
         n = len(self.flips)
         images = np.zeros((n,) + self.pshape + (self.channels,), np.float32)
@@ -144,8 +145,45 @@ class GuidePropagationLoader:
         self.direction = direction
         self.last_info = []
         self._last_pred = None
+        self.sp_guides = []
         idxs = range(self.case.depth)
         return iter(idxs if direction == "Forward" else reversed(idxs))
+
+    def save_guides(self, save_dir):
+        """Dump this sweep's propagated guide volume as
+        guide-{F|B}-<pid>.nii.gz, rescaled to the original frame with
+        GUIDE_BG padding (reference --save_sp_guide,
+        input_pipeline_g.py:1478-1496; values stored ×255 int16)."""
+        from pathlib import Path
+
+        import cv2
+
+        from boxsegliver_tpu.data import nii as nii_kits
+
+        if not self.sp_guides:
+            return None
+        case = self.case
+        vol = np.stack(self.sp_guides, axis=0)            # [cz, ph, pw]
+        if self.direction == "Backward":
+            vol = vol[::-1]
+        z1, z2, y1, y2, x1, x2 = case.crop
+        ch, cw = y2 - y1, x2 - x1
+        if vol.shape[1:] != (ch, cw):
+            out = np.empty((vol.shape[0], ch, cw), np.float32)
+            for z in range(vol.shape[0]):
+                out[z] = cv2.resize(vol[z], (cw, ch),
+                                    interpolation=cv2.INTER_LINEAR)
+            vol = out
+        arr = (vol * 255).astype(np.int16)
+        d, h, w = case.oshape
+        arr = np.pad(arr, ((z1, d - z2), (y1, h - y2), (x1, w - x2)),
+                     mode="constant",
+                     constant_values=np.int16(GUIDE_BG * 255))
+        save_dir = Path(save_dir)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        out_path = save_dir / f"guide-{self.direction[0]}-{case.pid}.nii.gz"
+        nii_kits.write_nii(arr, out_path, zooms=case.spacing)
+        return out_path
 
     @property
     def forward(self) -> bool:

@@ -114,7 +114,8 @@ def interactive_eval_2d(predict_fn: Callable, images: np.ndarray,
 def interactive_eval_3d(predict_fn: Callable, volume: np.ndarray,
                         label: np.ndarray, *, dice_thresh: float = 0.85,
                         max_iters: int = 20, stddev: float = 5.0,
-                        tta: bool = False) -> Dict[str, float]:
+                        tta: bool = False, use_cascade: bool = False,
+                        cascade_binary: bool = False) -> Dict[str, float]:
     """Whole-volume interactive loop (reference entry/main_eval_3d.py:326-420):
     click at the largest error component's center, update the 3D Gaussian
     guide, re-predict (optionally with 8-way mirror TTA), until Dice clears
@@ -122,6 +123,8 @@ def interactive_eval_3d(predict_fn: Callable, volume: np.ndarray,
 
     predict_fn({"images": [1,d,h,w,c]}) → probs [1,d,h,w,nc]; the guide is
     concatenated as the last image channel (UNet3D use_spatial contract).
+    use_cascade adds the GT-oracle channel from the first positive click's
+    slice once it exists (reference main_eval_3d.py:348-369).
     """
     shape = label.shape
     fg_clicks: List[Tuple] = []
@@ -129,6 +132,8 @@ def interactive_eval_3d(predict_fn: Callable, volume: np.ndarray,
     pred = np.zeros(shape, np.uint8)
     dice = 0.0
     clicks_used = 0
+    cascade_ch = np.zeros(shape + (1,), np.float32) if use_cascade else None
+    cascade_set = False
     flips = [()]
     if tta:
         flips = [(), (1,), (2,), (3,), (1, 2), (1, 3), (2, 3), (1, 2, 3)]
@@ -138,11 +143,20 @@ def interactive_eval_3d(predict_fn: Callable, volume: np.ndarray,
             break
         (fg_clicks if is_fg else bg_clicks).append(coords)
         clicks_used += 1
+        if use_cascade and not cascade_set and fg_clicks:
+            from boxsegliver_tpu.interactive.cascade import gt_cascade_channel
+            cascade_ch = gt_cascade_channel(
+                (label > 0).astype(np.uint8),
+                np.asarray(fg_clicks, np.float32),
+                binary=cascade_binary)[..., None]
+            cascade_set = True
         fg_g = render_click_guide(shape, fg_clicks, stddev)
         bg_g = render_click_guide(shape, bg_clicks, stddev)
         guide = (fg_g - bg_g)[..., None]
-        x = np.concatenate([volume[..., None] if volume.ndim == 3 else volume,
-                            guide], axis=-1)[None].astype(np.float32)
+        parts = [volume[..., None] if volume.ndim == 3 else volume]
+        if use_cascade:
+            parts.append(cascade_ch)
+        x = np.concatenate(parts + [guide], axis=-1)[None].astype(np.float32)
         acc = None
         for axes in flips:
             xin = x
