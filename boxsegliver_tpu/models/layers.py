@@ -59,9 +59,42 @@ class Norm(nn.Module):
         raise ValueError("Not supported normalization function: " + self.normalizer)
 
 
+class FusedInstanceNormRelu(nn.Module):
+    """Instance-norm + ReLU as one op (eps 1e-6, full affine) so XLA fuses
+    the normalize/affine/ReLU chain into one epilogue.
+
+    A Pallas custom-VJP variant exists
+    (ops/pallas_kernels.fused_instance_norm_relu, numerics verified exact on
+    TPU) but is NOT routed here: measured at the flagship shapes, XLA's joint
+    fwd+bwd schedule beats the two-pass Pallas backward (per-grid-step
+    overheads exceed the recoverable traffic margin — see PERF.md); honest
+    default = XLA.  Set BOXSEG_PALLAS_IN_RELU=1 to opt in."""
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if (x.ndim == 4 and jax.default_backend() == "tpu"
+                and os.environ.get("BOXSEG_PALLAS_IN_RELU") == "1"):
+            from boxsegliver_tpu.ops.pallas_kernels import \
+                fused_instance_norm_relu
+            return fused_instance_norm_relu(x, scale, bias)
+        axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=axes, keepdims=True)
+        var = xf.var(axis=axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+        return jnp.maximum(y, 0.0).astype(x.dtype)
+
+
 class ConvNormAct(nn.Module):
     """slim.conv2d equivalent: conv + (norm) + activation. Works for 2D/3D via
-    kernel/stride tuples."""
+    kernel/stride tuples.  The instance_norm + ReLU pair compiles to the
+    fused custom-VJP op (FusedInstanceNormRelu)."""
     features: int
     kernel: Tuple[int, ...] = (3, 3)
     strides: Tuple[int, ...] = (1, 1)
@@ -84,6 +117,9 @@ class ConvNormAct(nn.Module):
                     padding="SAME", use_bias=use_bias,
                     kernel_init=get_kernel_init(self.weight_init),
                     dtype=self.dtype)(x)
+        if (self.normalizer == "instance_norm" and self.act is nn.relu
+                and self.norm_bias and self.norm_scale):
+            return FusedInstanceNormRelu(dtype=self.dtype)(x)
         if self.normalizer is not None:
             x = Norm(self.normalizer, self.norm_bias, self.norm_scale,
                      dtype=self.dtype)(x, train=train)
