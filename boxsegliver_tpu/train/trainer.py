@@ -241,13 +241,45 @@ class Trainer:
     def restore(self):
         """Resume from the latest periodic checkpoint if present; apply
         warm start otherwise (reference core/estimator.py:249-253 +
-        WarmStartSettings:649-652)."""
+        WarmStartSettings:649-652; --load_weights scope-remapped partial
+        restore, core/models.py:160-185)."""
         self.state, step = self.ckpt.restore(self.state)
         if step == 0 and getattr(self.args, "warm_start_from", None):
             self.state = warm_start(self.state, self.args.warm_start_from)
             logger.info("Warm started from %s", self.args.warm_start_from)
+        elif step == 0 and getattr(self.args, "load_weights", None):
+            path = self._resolve_load_weights(self.args.load_weights)
+            scope_map = None
+            raw = getattr(self.args, "weights_scope", None)
+            if raw:  # "old=new[,old2=new2]" top-level module renames
+                scope_map = dict(pair.split("=", 1)
+                                 for pair in raw.split(",") if "=" in pair)
+            self.state = warm_start(self.state, path, scope_map=scope_map)
+            logger.info("Initialized weights from %s (scope_map=%s)", path,
+                        scope_map)
         self._host_step = int(step)
         return int(step)
+
+    def _resolve_load_weights(self, spec: str) -> str:
+        """--load_weights resolution (reference init_model,
+        core/models.py:163-172): an explicit checkpoint path, or a sibling
+        experiment tag under model_dir's parent — preferring its best line,
+        falling back to its latest periodic checkpoint."""
+        p = Path(spec)
+        if p.exists():
+            return str(p)
+        sibling = Path(self.args.model_dir).parent / spec
+        version = getattr(self.args, "load_weights_version", "checkpoint")
+        best = sibling / "ckpt_best" / ("best" if version == "checkpoint"
+                                        else version)
+        if best.exists():
+            return str(best)
+        ckpts = sorted((sibling / "ckpt").glob("*"),
+                       key=lambda q: int(q.name) if q.name.isdigit() else -1)
+        if ckpts:
+            return str(ckpts[-1])
+        raise FileNotFoundError(f"--load_weights {spec!r}: no checkpoint at "
+                                f"{p} or {sibling}")
 
     @property
     def global_step(self) -> int:

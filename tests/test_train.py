@@ -265,3 +265,31 @@ def test_best_keeper_moving_average(tmp_path):
     bk2 = BestKeeperMA(tmp_path, "Tumor/Dice", ma_alpha=0.5)
     assert bk2.ma_results["Tumor/Dice"] == pytest.approx(bk.ma_results["Tumor/Dice"])
     assert bk2.best["Tumor/Dice"] == pytest.approx(0.85)
+
+
+def test_load_weights_from_sibling_experiment(tmp_path):
+    """--load_weights <tag> initializes from a sibling experiment's best (or
+    latest periodic) checkpoint (reference init_model, core/models.py:160-185)."""
+    src_args = _args(model_dir=str(tmp_path / "exp_a"), batch_size=8)
+    model = _MicroNet(num_classes=3)
+    feats = {"images": np.zeros((8, 16, 16, 3), np.float32)}
+    src = Trainer(model, src_args, classes=["Background", "L", "T"],
+                  sample_features=feats, num_replicas=2, save_ckpt_steps=5)
+    labels = np.zeros((8, 16, 16), np.int32)
+    for _ in range(3):
+        src.train_step(feats, labels)
+    src.ckpt.save_best(src.state, "best")
+    src_params = jax.device_get(src.state.params)
+    src.ckpt.close()
+
+    dst_args = _args(model_dir=str(tmp_path / "exp_b"), batch_size=8,
+                     load_weights="exp_a", load_weights_version="checkpoint",
+                     weights_scope=None)
+    dst = Trainer(model, dst_args, classes=["Background", "L", "T"],
+                  sample_features=feats, num_replicas=2, save_ckpt_steps=5)
+    assert dst.restore() == 0
+    dst_params = jax.device_get(dst.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(src_params),
+                    jax.tree_util.tree_leaves(dst_params)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    dst.ckpt.close()
