@@ -23,7 +23,8 @@ from pathlib import Path
 from boxsegliver_tpu import config as config_mod
 from boxsegliver_tpu.utils.logger import setup_logger
 
-TASKS = ("liver", "only_liver", "tumor", "nf", "nf_inter", "synthetic")
+TASKS = ("liver", "only_liver", "tumor", "nf", "nf_inter", "nf_3d",
+         "synthetic")
 
 
 def get_args(argv=None):
@@ -38,9 +39,13 @@ def get_args(argv=None):
     config_mod.check_args(args, parser)
     config_mod.fill_default_args(args)
     args.task = task
+    if task == "nf_3d":  # reference entry/main.py nf_3d: the 3D NF pipeline
+        args.task = "nf"
+        if args.model != "UNet3D":
+            parser.error("task nf_3d requires --model UNet3D")
     if args.dataset == "synthetic" and task != "synthetic":
         args.dataset = {"liver": "LiTS", "only_liver": "LiTS", "tumor": "LiTS",
-                        "nf": "NF", "nf_inter": "NF"}[task]
+                        "nf": "NF", "nf_inter": "NF", "nf_3d": "NF"}[task]
     return args
 
 

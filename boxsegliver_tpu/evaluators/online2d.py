@@ -61,6 +61,8 @@ class OnlineEval2D:
             features, labels = self.process_fn(batch, self._key)
             probs = trainer.predict(features)
             probs, labels = jax.device_get((probs, labels))
+            if count == 0:
+                self._image_summaries(trainer, features, labels, probs)
             count += 1
             for i, cls in enumerate(self.classes):
                 if i == 0:
@@ -81,3 +83,23 @@ class OnlineEval2D:
             for cls, cm in cms.items():
                 out[f"{cls}/GlobalDice"] = cm.global_dice
         return out
+
+    def _image_summaries(self, trainer, features, labels, probs):
+        """Input / label / prediction / guide image summaries of the first
+        eval sample each epoch (reference _build_summaries,
+        NetworksV2/GUNet.py:435-487 writes the same panels in-graph)."""
+        summary = getattr(trainer, "summary", None)
+        if summary is None:
+            return
+        step = trainer.global_step
+        img = np.asarray(features["images"][0])
+        mid = img[..., img.shape[-1] // 2]
+        lo, hi = float(mid.min()), float(mid.max())
+        summary.image("eval/image", (mid - lo) / (hi - lo + 1e-8), step)
+        nc = probs.shape[-1]
+        summary.image("eval/label", np.asarray(labels[0]) / max(nc - 1, 1),
+                      step)
+        summary.image("eval/pred", probs[0].argmax(-1) / max(nc - 1, 1), step)
+        if "sp_guide" in features:
+            summary.image("eval/guide",
+                          np.asarray(features["sp_guide"][0, ..., 0]), step)

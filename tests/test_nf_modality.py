@@ -182,3 +182,16 @@ def test_nf_task_end_to_end(nf_root, tmp_path):
     results = evaluate(args, nf_root, logger, do_eval=True)
     assert "NF/Dice" in results
     assert np.isfinite(results["NF/Dice"])
+
+
+def test_nf_3d_task_alias():
+    """nf_3d positional selects the 3D NF pairing (reference entry/main.py)."""
+    from boxsegliver_tpu.cli.main import get_args, is_3d
+    args = get_args([
+        "nf_3d", "--mode", "train", "--tag", "t", "--model", "UNet3D",
+        "--classes", "NF", "--im_depth", "8", "--model_dir", "/tmp/x"])
+    assert args.task == "nf" and is_3d(args)
+    assert args.dataset == "NF"
+    with pytest.raises(SystemExit):
+        get_args(["nf_3d", "--mode", "train", "--tag", "t", "--model", "UNet",
+                  "--classes", "NF", "--model_dir", "/tmp/x"])
