@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# G-Net with the histogram-context (density) guide only (mirrors reference
+# run_scripts/template/002_gnet.sh / the 011_gnet_de experiment family).
+#
+# usage: 002_gnet.sh {train|eval} [num_replicas] [extra flags...]
+
+TASK=${1:-train}
+REPLICAS=${2:-0}
+shift $(( $# >= 2 ? 2 : $# ))
+
+PROJECT_DIR=$(dirname $(dirname $(dirname $(realpath $0))))
+BASE_NAME=$(basename $0)
+
+COMMON_FLAGS=(
+    --tag "${BASE_NAME%.sh}"
+    --model GUNet
+    --model_config GUNet_DE.yml
+    --classes Liver Tumor
+    --test_fold 2
+    --im_height 256 --im_width 256 --im_channel 3
+    --random_flip 3
+    --num_replicas "${REPLICAS}"
+    --dataset LiTS
+    --normalizer instance_norm
+    --use_context --context_list hist 200 --hist_noise
+)
+
+if [[ "$TASK" == "train" ]]; then
+    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.main liver \
+        --mode train \
+        "${COMMON_FLAGS[@]}" \
+        --noise_scale 0.05 \
+        --num_of_total_steps 600000 \
+        --primary_metric "Tumor/Dice" \
+        --secondary_metric "Liver/Dice" \
+        --loss_weight_type numerical \
+        --loss_numeric_w 0.2 0.4 4.4 \
+        --batches_per_epoch 2000 \
+        --batch_size 8 \
+        --weight_decay_rate 0.000001 \
+        --learning_policy plateau \
+        --learning_rate 0.001 \
+        --lr_end 0.0000005 \
+        --lr_decay_rate 0.2 \
+        --eval_per_epoch \
+        --evaluator Volume \
+        --save_best \
+        "$@"
+elif [[ "$TASK" == "eval" ]]; then
+    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.main liver \
+        --mode eval \
+        "${COMMON_FLAGS[@]}" \
+        --metrics_eval Dice VOE RVD \
+        --primary_metric "Tumor/Dice" \
+        --batch_size 8 \
+        --eval_mirror \
+        --evaluator Volume \
+        "$@"
+fi
