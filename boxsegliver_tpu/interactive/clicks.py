@@ -19,6 +19,27 @@ import numpy as np
 from scipy import ndimage as ndi
 
 
+def erode_iterations(mask: np.ndarray, k: int, border_value: int = 0
+                     ) -> np.ndarray:
+    """k-iteration binary erosion with the cross structuring element as ONE
+    city-block distance pass: erosion^k keeps exactly the pixels whose
+    taxicab distance to the background exceeds k.  Exact equivalent of
+    ``ndi.binary_erosion(mask, iterations=k, border_value=b)`` (the
+    reference's inner loop, NF/input_pipeline_g_simply.py:367-372) at O(1)
+    passes instead of O(k) — the click simulator's host-side hot spot
+    (band width d=40 → 40 erosions per sample otherwise)."""
+    if k <= 0:
+        return mask.astype(bool)
+    m = mask.astype(bool)
+    if border_value and m.all():  # no background anywhere: identity
+        return m
+    # pad with the border convention so outside-the-frame pixels join the
+    # distance field (cdt alone never treats the frame edge as background)
+    padded = np.pad(m, 1, constant_values=bool(border_value))
+    dist = ndi.distance_transform_cdt(padded, metric="taxicab")
+    return dist[1:-1, 1:-1] > k
+
+
 def inter_simulation(mask: np.ndarray, margin: int = 5, step: int = 10,
                      N: int = 5, bg: bool = False, d: int = 40,
                      strategy: int = 0, ret_type=np.float32,
@@ -38,10 +59,9 @@ def inter_simulation(mask: np.ndarray, margin: int = 5, step: int = 10,
     if neg_patch is not None and strategy == 4:
         region = neg_patch.astype(bool).copy()
     else:
-        region = ndi.binary_erosion(mask, iterations=margin, border_value=int(bg))
+        region = erode_iterations(mask, margin, border_value=int(bg))
         if bg and strategy != 0:
-            region = region ^ ndi.binary_erosion(region, iterations=d,
-                                                 border_value=int(bg))
+            region = region ^ erode_iterations(region, d, border_value=int(bg))
         if not region.max():  # object too small to erode
             region = mask.astype(bool).copy()
             small = True

@@ -63,32 +63,39 @@ class FusedInstanceNormRelu(nn.Module):
     """Instance-norm + ReLU as one op (eps 1e-6, full affine) so XLA fuses
     the normalize/affine/ReLU chain into one epilogue.
 
-    A Pallas custom-VJP variant exists
-    (ops/pallas_kernels.fused_instance_norm_relu, numerics verified exact on
-    TPU) but is NOT routed here: measured at the flagship shapes, XLA's joint
-    fwd+bwd schedule beats the two-pass Pallas backward (per-grid-step
-    overheads exceed the recoverable traffic margin — see PERF.md); honest
-    default = XLA.  Set BOXSEG_PALLAS_IN_RELU=1 to opt in."""
+    OPT-IN ONLY (BOXSEG_PALLAS_IN_RELU=1 routes ConvNormAct here): measured
+    at the flagship shapes, XLA's schedule on the standard Norm+ReLU pair is
+    as fast at runtime and compiles ~2x faster on the remote TPU compiler,
+    and the two-pass Pallas custom-VJP backward
+    (ops/pallas_kernels.fused_instance_norm_relu, numerics verified exact) is
+    slower than XLA's joint fwd+bwd (per-grid-step overheads exceed the
+    recoverable traffic margin — see PERF.md). Kept as the validated
+    experimentation surface."""
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        import os
-
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        if (x.ndim == 4 and jax.default_backend() == "tpu"
-                and os.environ.get("BOXSEG_PALLAS_IN_RELU") == "1"):
+        if x.ndim == 4 and jax.default_backend() == "tpu":
             from boxsegliver_tpu.ops.pallas_kernels import \
                 fused_instance_norm_relu
             return fused_instance_norm_relu(x, scale, bias)
         axes = tuple(range(1, x.ndim - 1))
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=axes, keepdims=True)
-        var = xf.var(axis=axes, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + 1e-6) * scale + bias
-        return jnp.maximum(y, 0.0).astype(x.dtype)
+        # fast variance (E[x²] − E[x]², one fusion — also what flax uses);
+        # the naive two-pass var() doubled this model's remote compile time
+        var = jnp.maximum((xf * xf).mean(axis=axes, keepdims=True)
+                          - mean * mean, 0.0)
+        # fold the norm into a per-channel affine and APPLY in x.dtype —
+        # an f32 full-resolution apply doubles the HBM traffic of this
+        # (bandwidth-bound) op and measurably slows the whole train step
+        a = jax.lax.rsqrt(var + 1e-6) * scale
+        b = bias - mean * a
+        y = x * a.astype(x.dtype) + b.astype(x.dtype)
+        return jnp.maximum(y, 0)
 
 
 class ConvNormAct(nn.Module):
@@ -117,8 +124,12 @@ class ConvNormAct(nn.Module):
                     padding="SAME", use_bias=use_bias,
                     kernel_init=get_kernel_init(self.weight_init),
                     dtype=self.dtype)(x)
+        import os
         if (self.normalizer == "instance_norm" and self.act is nn.relu
-                and self.norm_bias and self.norm_scale):
+                and self.norm_bias and self.norm_scale
+                and os.environ.get("BOXSEG_PALLAS_IN_RELU") == "1"):
+            # opt-in only: measured on the v5e tunnel, the flax path compiles
+            # ~2x faster remotely and runs at the same speed (see PERF.md)
             return FusedInstanceNormRelu(dtype=self.dtype)(x)
         if self.normalizer is not None:
             x = Norm(self.normalizer, self.norm_bias, self.norm_scale,

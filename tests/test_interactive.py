@@ -294,3 +294,32 @@ def test_fp_filtering_in_propagation(tmp_path):
             kept = loader.set_last_pred(pred)
             assert kept[:3, :3].sum() == 0  # FP (no guide) removed
             break
+
+
+def test_erode_iterations_equals_iterated_binary_erosion():
+    """The one-pass city-block formulation is exactly iterated binary erosion
+    with the cross structuring element, for both border conventions."""
+    from scipy import ndimage as ndi
+
+    from boxsegliver_tpu.interactive.clicks import erode_iterations
+
+    rng = np.random.RandomState(0)
+    cases = []
+    blob = np.zeros((40, 48), np.uint8)
+    blob[5:30, 8:40] = 1
+    blob[12:18, 20:26] = 0
+    cases.append(blob)
+    cases.append((rng.rand(36, 36) > 0.35).astype(np.uint8))
+    edge = np.zeros((24, 24), np.uint8)
+    edge[0:10, 0:12] = 1  # touches the frame border
+    cases.append(edge)
+    cases.append(np.ones((16, 16), np.uint8))
+    cases.append(np.zeros((16, 16), np.uint8))
+
+    for mask in cases:
+        for k in (1, 3, 7, 15):
+            for bv in (0, 1):
+                want = ndi.binary_erosion(mask, iterations=k, border_value=bv)
+                got = erode_iterations(mask, k, border_value=bv)
+                np.testing.assert_array_equal(got, want,
+                                              err_msg=f"k={k} bv={bv}")

@@ -76,14 +76,20 @@ def test_fused_in_relu_grads_match_autodiff():
                                    rtol=1e-3, err_msg=name)
 
 
-def test_conv_norm_act_uses_fused_instance_norm():
-    """ConvNormAct with instance_norm + relu routes through the fused module
-    (param tree: FusedInstanceNormRelu_0/{scale,bias}) and trains."""
+def test_conv_norm_act_fused_instance_norm_opt_in(monkeypatch):
+    """ConvNormAct routes instance_norm + relu through the fused module ONLY
+    under BOXSEG_PALLAS_IN_RELU=1 (flax Norm otherwise; see PERF.md for why
+    the default stays on XLA)."""
     import jax
     from boxsegliver_tpu.models.layers import ConvNormAct
 
-    m = ConvNormAct(4, normalizer="instance_norm")
+    m_default = ConvNormAct(4, normalizer="instance_norm")
     x = jnp.ones((2, 16, 16, 3), jnp.float32)
+    v_default = m_default.init(jax.random.PRNGKey(0), x)
+    assert "Norm_0" in v_default["params"]
+
+    monkeypatch.setenv("BOXSEG_PALLAS_IN_RELU", "1")
+    m = ConvNormAct(4, normalizer="instance_norm")
     variables = m.init(jax.random.PRNGKey(0), x)
     assert "FusedInstanceNormRelu_0" in variables["params"]
     y = m.apply(variables, x)
