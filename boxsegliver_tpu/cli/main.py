@@ -88,7 +88,9 @@ def build_feature_template(args):
     feats = {"images": np.zeros(
         (args.batch_size, args.im_height, args.im_width, args.im_channel),
         np.float32)}
-    if is_inter(args):
+    if is_inter(args) or args.model in ("UNetInter", "InterUNet"):
+        # these models consume a click guide unconditionally
+        # (reference NetworksV2/UNetInter.py:87-90, InterUNet.py:117-161)
         gc = int(getattr(args, "guide_channel", 2))
         feats["sp_guide"] = np.zeros(
             (args.batch_size, args.im_height, args.im_width, gc), np.float32)

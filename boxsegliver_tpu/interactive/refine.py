@@ -80,6 +80,9 @@ def interactive_eval_2d(predict_fn: Callable, images: np.ndarray,
     total_dice, total_clicks = [], []
     for z in range(n_slices):
         lab = labels[z] > 0
+        if not lab.any():
+            # reference main_eval.py only evaluates lesion-bearing slices
+            continue
         fg_clicks: List[Tuple] = []
         bg_clicks: List[Tuple] = []
         pred = np.zeros(shape, np.uint8)
