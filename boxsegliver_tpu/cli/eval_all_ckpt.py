@@ -18,7 +18,8 @@ logger = logging.getLogger("boxsegliver")
 
 
 def sweep(args, dataset_dir):
-    from boxsegliver_tpu.cli.main import (_make_online_eval, build_trainer,
+    from boxsegliver_tpu.cli.main import (_make_online_eval, _with_blank_guide,
+                                          build_eval_cascade, build_trainer,
                                           is_3d)
 
     trainer = build_trainer(args, dataset_dir)
@@ -28,8 +29,28 @@ def sweep(args, dataset_dir):
     if not tags:
         raise SystemExit(f"No best checkpoints under {best_dir}")
 
-    eval_fn = None
-    if not is_3d(args):
+    if is_3d(args):
+        from boxsegliver_tpu.data.kfold import (LITS_SEED,
+                                                read_or_create_k_folds,
+                                                train_test_split)
+        from boxsegliver_tpu.data.meta import load_meta
+        from boxsegliver_tpu.evaluators.volume3d import EvaluateVolume3D
+        metas = load_meta(dataset_dir)
+        folds = read_or_create_k_folds(
+            Path(dataset_dir) / "k_folds.txt", [m["PID"] for m in metas],
+            k_split=args.k_folds, seed=LITS_SEED)
+        _, test_pids = train_test_split(folds, args.test_fold)
+        test_pids = set(int(p) for p in test_pids)
+        eval_metas = [m for m in metas if int(m["PID"]) in test_pids]
+        ev = EvaluateVolume3D(args, dataset_dir,
+                              ["Background"] + list(args.classes))
+        cascade = build_eval_cascade(args)
+
+        def eval_fn(trainer):
+            return ev.run(
+                lambda f: trainer.predict(_with_blank_guide(args, f)),
+                eval_metas, cascade=cascade)
+    else:
         eval_fn = _make_online_eval(args, dataset_dir)
 
     out_path = Path(args.model_dir) / "eval_sweep.txt"
@@ -40,24 +61,7 @@ def sweep(args, dataset_dir):
             logger.warning("Skipping unrestorable checkpoint %s", tag)
             continue
         trainer.state = restored
-        if eval_fn is not None:
-            results = eval_fn(trainer)
-        else:
-            from boxsegliver_tpu.evaluators.volume3d import EvaluateVolume3D
-            from boxsegliver_tpu.data.kfold import (LITS_SEED,
-                                                    read_or_create_k_folds,
-                                                    train_test_split)
-            from boxsegliver_tpu.data.meta import load_meta
-            metas = load_meta(dataset_dir)
-            folds = read_or_create_k_folds(
-                Path(dataset_dir) / "k_folds.txt", [m["PID"] for m in metas],
-                k_split=args.k_folds, seed=LITS_SEED)
-            _, test_pids = train_test_split(folds, args.test_fold)
-            test_pids = set(int(p) for p in test_pids)
-            ev = EvaluateVolume3D(args, dataset_dir,
-                                  ["Background"] + list(args.classes))
-            results = ev.run(trainer.predict,
-                             [m for m in metas if int(m["PID"]) in test_pids])
+        results = eval_fn(trainer)
         row = {"ckpt": tag, **{k: float(v) for k, v in results.items()}}
         rows.append(row)
         logger.info("%s: %s", tag,

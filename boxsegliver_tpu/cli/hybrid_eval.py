@@ -97,22 +97,8 @@ def run_hybrid_eval(args, dataset_dir, trainer=None) -> Dict[str, float]:
         else:
             trainer.restore()
 
-    cascade = None
-    if getattr(args, "use_cascade", False) and getattr(args, "ckpt_2d", None):
-        from boxsegliver_tpu.cli.main import build_frozen_2d_predict
-        from boxsegliver_tpu.interactive.cascade import Cascade2D
-        p2d = build_frozen_2d_predict(args)
-
-        def p2d_blank(feats):
-            if "sp_guide" not in feats:
-                shape = feats["images"].shape[:-1] + (2,)
-                feats = dict(feats, sp_guide=np.zeros(shape, np.float32))
-            return p2d(feats)
-
-        cascade = Cascade2D(p2d_blank, batch_size=args.batch_size,
-                            im_channel=args.im_channel,
-                            channel_mode="binary" if args.cascade_binary
-                            else "edt", tau=25.0)
+    from boxsegliver_tpu.cli.main import build_eval_cascade
+    cascade = build_eval_cascade(args)
 
     metas = load_meta(root)
     folds = read_or_create_k_folds(root / "k_folds.txt",
@@ -150,6 +136,11 @@ def run_hybrid_eval(args, dataset_dir, trainer=None) -> Dict[str, float]:
             extra = cascade.extra_channel(img)
             feats["images"] = np.concatenate(
                 [feats["images"], extra[None, ..., None]], axis=-1)
+        elif getattr(args, "use_cascade", False):
+            # neutral zero channel for cascade-trained models without a
+            # frozen 2D producer (see volume3d.predict_case)
+            feats["images"] = np.concatenate(
+                [feats["images"], np.zeros_like(feats["images"])], axis=-1)
         probs = tta_predict(trainer.predict, feats,
                             eval_mirror=getattr(args, "eval_mirror", True))
         pred = probs[0].argmax(-1).astype(np.uint8)

@@ -68,7 +68,10 @@ def main(argv=None):
         k_split=args.k_folds, seed=LITS_SEED)
     _, test_pids = train_test_split(folds, args.test_fold)
     test_pids = set(int(p) for p in test_pids)
-    eval_metas = [m for m in metas if int(m["PID"]) in test_pids]
+    # only lesion-bearing cases, like the reference drivers' nf_set filter
+    # (entry/main_eval_3d.py load_dataset)
+    eval_metas = [m for m in metas
+                  if int(m["PID"]) in test_pids and m["tumors"]]
     if args.eval_num > 0:
         eval_metas = eval_metas[:args.eval_num]
 

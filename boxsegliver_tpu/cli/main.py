@@ -142,6 +142,30 @@ def build_cascade2d(args):
                           im_channel=args.im_channel)
 
 
+def build_eval_cascade(args):
+    """Whole-volume Cascade2D for eval paths, or None when --use_cascade /
+    --ckpt_2d are absent (the frozen 2D model runs click-less with blank
+    guides)."""
+    if not (getattr(args, "use_cascade", False)
+            and getattr(args, "ckpt_2d", None)):
+        return None
+    import numpy as np
+
+    from boxsegliver_tpu.interactive.cascade import Cascade2D
+    p2d = build_frozen_2d_predict(args)
+
+    def p2d_blank(feats):
+        if "sp_guide" not in feats:
+            shape = feats["images"].shape[:-1] + (2,)
+            feats = dict(feats, sp_guide=np.zeros(shape, np.float32))
+        return p2d(feats)
+
+    return Cascade2D(p2d_blank, batch_size=args.batch_size,
+                     im_channel=args.im_channel,
+                     channel_mode="binary" if args.cascade_binary else "edt",
+                     tau=25.0)
+
+
 def build_trainer(args, dataset_dir, fuse_preprocess=False, cache=None):
     """fuse_preprocess=True compiles the device-side augmentation INTO the
     train step (one dispatch per step) — the product train path; the dataset
@@ -212,9 +236,14 @@ def train(args, dataset_dir, logger):
             Path(dataset_dir) / "k_folds.txt", [m["PID"] for m in metas],
             k_split=args.k_folds, seed=LITS_SEED)
         train_pids, _ = train_test_split(folds, args.test_fold)
-        cache = DeviceVolumeCache(dataset_dir, [int(p) for p in train_pids],
-                                  mesh=make_mesh(args.num_replicas),
-                                  budget_gb=args.device_cache_gb)
+        try:
+            cache = DeviceVolumeCache(dataset_dir,
+                                      [int(p) for p in train_pids],
+                                      mesh=make_mesh(args.num_replicas),
+                                      budget_gb=args.device_cache_gb)
+        except MemoryError as e:
+            logger.warning("--device_cache disabled (%s); falling back to "
+                           "the streaming host sampler", e)
 
     trainer = build_trainer(args, dataset_dir, fuse_preprocess=True,
                             cache=cache)
@@ -383,27 +412,8 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
                                           make_mesh(z_shards), z_shards)
         else:
             predict = lambda f: trainer.predict(_with_blank_guide(args, f))
-        cascade = None
-        if getattr(args, "use_cascade", False) and getattr(args, "ckpt_2d",
-                                                           None):
-            import numpy as np
-
-            from boxsegliver_tpu.interactive.cascade import Cascade2D
-            p2d = build_frozen_2d_predict(args)
-
-            def p2d_blank(feats):  # whole-volume cascade: no clicks → blank
-                if "sp_guide" not in feats:
-                    shape = feats["images"].shape[:-1] + (2,)
-                    feats = dict(feats, sp_guide=np.zeros(shape, np.float32))
-                return p2d(feats)
-
-            cascade = Cascade2D(
-                p2d_blank, batch_size=args.batch_size,
-                im_channel=args.im_channel,
-                channel_mode="binary" if args.cascade_binary else "edt",
-                tau=25.0)
         results = ev3.run(predict, eval_metas, do_eval=do_eval,
-                          cascade=cascade)
+                          cascade=build_eval_cascade(args))
         trainer.ckpt.close()
         return results
 

@@ -21,15 +21,13 @@ from typing import Callable, Dict, List, Sequence
 import jax
 import numpy as np
 
-from boxsegliver_tpu.ops.metrics import (ConfusionMatrix, metric_dice,
-                                          metric_vd, metric_voe)
+# surface metrics (ASSD/RMSD/MSD) need full volumes and are only produced by
+# the 3D evaluators (reference 2D mode has the same gap) — METRIC_FNS simply
+# has no entry for them here
+from boxsegliver_tpu.ops.metrics import METRIC_FNS as _METRIC_FNS
+from boxsegliver_tpu.ops.metrics import ConfusionMatrix
 
 EVAL_SEED = 1234
-
-# 2D-computable metrics; surface metrics (ASSD/RMSD/MSD) need full volumes and
-# are only produced by the 3D evaluators (reference 2D mode has the same gap).
-_METRIC_FNS = {"dice": metric_dice, "voe": metric_voe, "vd": metric_vd,
-               "rvd": metric_vd}
 
 
 class OnlineEval2D:

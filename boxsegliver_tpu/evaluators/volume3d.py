@@ -117,6 +117,11 @@ class EvaluateVolume3D(EvaluateBase):
         if cascade is not None:
             extra = cascade.extra_channel(vol[..., 0])
             vol = np.concatenate([vol, extra[..., None]], axis=-1)
+        elif getattr(args, "use_cascade", False):
+            # cascade-trained model, no frozen-2D producer at eval: feed the
+            # neutral zero channel (= the train-time value for samples
+            # without clicks, interactive/cascade.gt_cascade_channel)
+            vol = np.concatenate([vol, np.zeros_like(vol)], axis=-1)
         padded, pads = pad_to_multiple(vol, self.align)
         if args.im_depth > 0 and padded.shape[0] > args.im_depth:
             probs = sliding_window_3d(

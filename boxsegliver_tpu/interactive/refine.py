@@ -110,8 +110,11 @@ def interactive_eval_2d(predict_fn: Callable, images: np.ndarray,
                 break
         total_dice.append(dice)
         total_clicks.append(clicks_used)
+    if not total_dice:  # no lesion-bearing slices in this case
+        return {"Dice": 1.0, "clicks": 0.0, "slices": 0.0}
     return {"Dice": float(np.mean(total_dice)),
-            "clicks": float(np.mean(total_clicks))}
+            "clicks": float(np.mean(total_clicks)),
+            "slices": float(len(total_dice))}
 
 
 def interactive_eval_3d(predict_fn: Callable, volume: np.ndarray,

@@ -453,9 +453,11 @@ def find_tp_and_fp(result: np.ndarray, reference: np.ndarray,
                    connectivity: int = 1):
     """Split predicted objects into true positives and false positives
     (reference utils/array_kits.py:1008-1035): a predicted object whose Dice
-    against the (undifferentiated) reference foreground is < 0.1 counts as a
-    false positive — marginal grazing overlaps are still FPs.
-    Returns (tp_mask, fp_mask)."""
+    < 0.1 counts as a false positive.  NB the Dice is computed INSIDE the
+    predicted object's bounding-box window against the (undifferentiated)
+    reference foreground there — the reference's own windowed formulation
+    (``labeled_res[slice_]`` vs ``labeled_ref[slice_]``), pinned by the
+    golden fixture.  Returns (tp_mask, fp_mask)."""
     disc = ndi.generate_binary_structure(result.ndim, connectivity)
     labeled, n = ndi.label(result, disc)
     tp = np.zeros_like(result, bool)

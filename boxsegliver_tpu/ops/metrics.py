@@ -47,7 +47,10 @@ def metric_vd(logits, labels, eps: float = 1e-5, reduce: bool = True):
     return jnp.mean(vd) if reduce else vd
 
 
-METRIC_FNS = {"dice": metric_dice, "voe": metric_voe, "vd": metric_vd}
+# 'rvd' aliases metric_vd: the eval-metric surface names it RVD
+# (loss_metrics.py:60) while the train-metric surface names it VD
+METRIC_FNS = {"dice": metric_dice, "voe": metric_voe, "vd": metric_vd,
+              "rvd": metric_vd}
 
 
 def build_train_metrics(probs, labels, classes, metric_names):

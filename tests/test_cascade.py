@@ -159,3 +159,22 @@ def test_filter_tiny_nf_and_hybrid_eval(nf_root, tmp_path):
     assert "Dice" in results and np.isfinite(results["Dice"])
     assert (nf_root / "slim").exists()
     trainer.ckpt.close()
+
+
+def test_cascade_trained_model_evaluates_without_2d(nf_root, tmp_path):
+    """A GT-oracle cascade-trained UNet3D (2-channel input) must evaluate
+    without a frozen-2D producer: the evaluator feeds the neutral zero
+    channel (regression: ScopeParamShapeError before)."""
+    from boxsegliver_tpu.cli.main import build_trainer
+    from boxsegliver_tpu.evaluators.volume3d import EvaluateVolume3D
+
+    args = _args3d(nf_root, tmp_path / "m", "--use_cascade",
+                   "--cascade_binary", "--eval_num", "1")
+    args.num_replicas = 1
+    trainer = build_trainer(args, nf_root)
+    ev = EvaluateVolume3D(args, nf_root, ["NF"])
+    import json
+    metas = json.loads((nf_root / "meta.json").read_text())
+    results = ev.run(trainer.predict, metas[:1], do_eval=True)
+    assert "NF/Dice" in results and np.isfinite(results["NF/Dice"])
+    trainer.ckpt.close()
