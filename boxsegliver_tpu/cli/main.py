@@ -196,6 +196,7 @@ def build_trainer(args, dataset_dir, fuse_preprocess=False, cache=None):
             preprocess_fn = make_preprocess_fn(args, cache=cache)
     return Trainer(model, args, classes, feats,
                    num_replicas=getattr(args, "num_replicas", 0),
+                   save_ckpt_steps=int(getattr(args, "save_ckpt_steps", 5000)),
                    preprocess_fn=preprocess_fn)
 
 

@@ -55,6 +55,9 @@ def add_arguments(parser: argparse.ArgumentParser):
                        help="Save best checkpoint in each interval")
     group.add_argument("--log_step", type=int, default=500,
                        help="Log running information per `log_step`")
+    group.add_argument("--save_ckpt_steps", type=int, default=5000,
+                       help="Periodic checkpoint cadence (reference saves "
+                            "every 5000 steps, entry/main.py:143)")
     group.add_argument("--min_delta", type=float, default=5e-4,
                        help="min_delta for plateau lr strategy")
     group.add_argument("--seed", type=int, default=1234,

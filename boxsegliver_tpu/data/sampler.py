@@ -34,6 +34,22 @@ from boxsegliver_tpu.data.meta import IM_SCALE, load_meta
 # input_pipeline_g.py:519-523; stored = (HU + 250) * IM_SCALE)
 FIXED_CLIP = (50.0 * IM_SCALE, 500.0 * IM_SCALE)
 
+# Pre-computed per-dimension GLCM train-noise scales — data constants from the
+# reference (~1% of each feature's 2.5-97.5 percentile span,
+# input_pipeline_g.py:58-69), tiled to the configured GLCM feature length.
+GLCM_NOISE_SCALE = np.array(
+    [0.0004, 0.0008, 0.0005, 0.0008, 0.001, 0.0008, 0.0012, 0.0008, 0.0013,
+     0.0014, 0.0015, 0.0014, 0.0013, 0.0016, 0.0013, 0.0017, 0.0019, 0.0016,
+     0.0021, 0.0017, 0.0021, 0.0021, 0.0023, 0.0022, 0.0045, 0.0034, 0.0041,
+     0.0034, 0.003, 0.0034, 0.0028, 0.0034, 0.0025, 0.0025, 0.0025, 0.0025,
+     0.0019, 0.002, 0.0019, 0.0021, 0.0021, 0.002, 0.0021, 0.0021, 0.0023,
+     0.0025, 0.0023, 0.0025, 0.0043, 0.0046, 0.0043, 0.0046, 0.0048, 0.0046,
+     0.0048, 0.0046, 0.0051, 0.0053, 0.0051, 0.0052, 0.0038, 0.0067, 0.0045,
+     0.0069, 0.0087, 0.0067, 0.0093, 0.0069, 0.01, 0.0108, 0.0106, 0.011,
+     0.0262, 0.0248, 0.0262, 0.025, 0.024, 0.0248, 0.0243, 0.025, 0.0217,
+     0.0207, 0.022, 0.022, 0.1137, 0.1054, 0.1165, 0.1095, 0.1004, 0.1054,
+     0.1026, 0.1095, 0.094, 0.0908, 0.0934, 0.0929], np.float32)
+
 
 def compact_case(meta: Dict, case_dir: Optional[Path] = None) -> Dict:
     """Meta → the per-case dict the reference builds for sampling
@@ -173,9 +189,10 @@ class TrainSampler:
     def context_len(self) -> int:
         return sum(l for _, l in self.context_list)
 
-    def _context_features(self, pid: int) -> np.ndarray:
-        """hist features ×hist_scale (reference feature_ops.py:20-24),
-        context_mode='train' (GT-based histograms)."""
+    def _context_features(self, pid: int):
+        """Per-feature arrays [(name, [z, len])]: hist ×hist_scale
+        (reference feature_ops.py:20-24), context_mode='train' (GT-based
+        histograms)."""
         if pid not in self._context_cache:
             feats = []
             for name, f_len in self.context_list:
@@ -183,9 +200,28 @@ class TrainSampler:
                 assert arr.shape[1] == f_len, f"feature length {arr.shape[1]} != {f_len}"
                 if name == "hist":
                     arr = arr * self.args.hist_scale
-                feats.append(arr.astype(np.float32))
-            self._context_cache[pid] = np.concatenate(feats, axis=1)
+                feats.append((name, arr.astype(np.float32)))
+            self._context_cache[pid] = feats
         return self._context_cache[pid]
+
+    def _sample_context(self, pid: int, sid: int,
+                        rng: np.random.RandomState) -> np.ndarray:
+        """Concatenated context vector for one slice with per-feature train
+        noise: hist noise scaled by --hist_noise_scale, GLCM noise by the
+        pre-computed per-dimension scales (reference gen_train_batch,
+        input_pipeline_g.py:545-565)."""
+        parts = []
+        for name, arr in self._context_features(pid):
+            feat = arr[sid].copy()
+            if name == "hist" and getattr(self.args, "hist_noise", False):
+                feat += (rng.normal(0.0, 1.0, feat.shape)
+                         * self.args.hist_noise_scale).astype(np.float32)
+            elif name == "glcm" and getattr(self.args, "glcm_noise", False):
+                scale = np.resize(GLCM_NOISE_SCALE, feat.shape)
+                feat += (rng.normal(0.0, 1.0, feat.shape)
+                         * scale).astype(np.float32)
+            parts.append(feat)
+        return np.concatenate(parts, axis=0)
 
     def _stack_window(self, pid: int, sid: int, off_y: int, off_x: int,
                       crop: Tuple[int, int]):
@@ -357,11 +393,7 @@ class TrainSampler:
             use_sp = rng.random_sample() < getattr(args, "spatial_random", 1.0)
             if self.use_context:
                 if use_sp:
-                    feat = self._context_features(pid)[sid].copy()
-                    if getattr(args, "hist_noise", False):
-                        feat += (rng.normal(0.0, 1.0, feat.shape)
-                                 * args.hist_noise_scale).astype(np.float32)
-                    out["context"][j] = feat
+                    out["context"][j] = self._sample_context(pid, sid, rng)
             if self.use_spatial and use_sp and ind >= 0:
                 centers = np.asarray(case["centers"][ind], np.float32)
                 stddevs = np.asarray(case["stddevs"][ind], np.float32)
