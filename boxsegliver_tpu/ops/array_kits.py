@@ -84,41 +84,32 @@ def bbox_from_mask(mask: np.ndarray, mask_values, min_shape=None, padding=None):
     Coordinates are in reversed-axis (x first) order and are INCLUSIVE at both
     ends (`x2 - x1 + 1` is the width).
     """
-    if np.count_nonzero(mask) == 0:
-        return np.zeros(shape=(mask.ndim * 2,), dtype=np.int64)
-    if min_shape is not None:
-        assert len(min_shape) == mask.ndim
-    if isinstance(mask_values, int):
-        mask_values = [mask_values]
-    mask_values = np.array(mask_values).reshape(-1, 1)
-
-    indices = []
-    for d in reversed(range(mask.ndim)):
-        axes = tuple(a for a in range(mask.ndim) if a != d)
-        maxes = np.max(mask, axis=axes)
-        indices.append(np.where((maxes == mask_values).any(axis=0))[0])
-
-    coords = []
-    for d in range(mask.ndim):
-        coords.extend([indices[d][0], indices[d][-1]])
-    # coords is (x1, x2, y1, y2, ...) → reorder to (x1, y1, ..., x2, y2, ...)
-    coords = np.array(coords, dtype=np.int64)
-    bbox = np.concatenate([coords[0::2], coords[1::2]])
-
     ndim = mask.ndim
-    img_shape_rev = np.array(mask.shape[::-1])
+    if not np.count_nonzero(mask):
+        return np.zeros(2 * ndim, np.int64)
+    if min_shape is not None:
+        assert len(min_shape) == ndim
+    selected = np.isin(mask, np.atleast_1d(mask_values))
+
+    lo_rev, hi_rev = [], []
+    for axis in range(ndim - 1, -1, -1):  # x first
+        other = tuple(a for a in range(ndim) if a != axis)
+        hits = np.flatnonzero(selected.any(axis=other))
+        lo_rev.append(int(hits[0]))
+        hi_rev.append(int(hits[-1]))
+    bbox = np.asarray(lo_rev + hi_rev, np.int64)
+
+    frame_rev = np.asarray(mask.shape[::-1])
     if padding is not None:
-        padding = np.asarray(padding if np.ndim(padding) else [padding] * ndim)
-        bbox[:ndim] = np.maximum(0, bbox[:ndim] - padding)
-        bbox[ndim:] = np.minimum(img_shape_rev - 1, bbox[ndim:] + padding)
+        grow = np.asarray(padding if np.ndim(padding) else [padding] * ndim)
+        bbox[:ndim] = np.clip(bbox[:ndim] - grow, 0, None)
+        bbox[ndim:] = np.clip(bbox[ndim:] + grow, None, frame_rev - 1)
     elif min_shape is not None:
-        shape = bbox[ndim:] - bbox[:ndim] + 1
-        min_shape_rev = np.asarray(min_shape[::-1])
-        pad = np.maximum(0, min_shape_rev - shape)
-        lo = pad // 2
-        hi = pad - lo
-        bbox[:ndim] = np.maximum(0, bbox[:ndim] - lo)
-        bbox[ndim:] = np.minimum(img_shape_rev - 1, bbox[ndim:] + hi)
+        deficit = np.clip(np.asarray(min_shape[::-1])
+                          - (bbox[ndim:] - bbox[:ndim] + 1), 0, None)
+        bbox[:ndim] = np.clip(bbox[:ndim] - deficit // 2, 0, None)
+        bbox[ndim:] = np.clip(bbox[ndim:] + (deficit - deficit // 2), None,
+                              frame_rev - 1)
     return bbox
 
 
@@ -131,29 +122,29 @@ def bbox_to_slices(bbox) -> Tuple[slice, ...]:
 
 
 def extract_region(mask: np.ndarray, align=1, padding=0, min_bbox_shape=None):
-    """Aligned sub-region bbox around a mask (reference array_kits.py:263-329)."""
+    """Aligned sub-region bbox around a mask (semantics of reference
+    array_kits.py:263-329): pad the tight bbox, round its extent up to the
+    alignment, center the aligned window on the padded bbox, and shift it
+    back inside the frame when it overflows."""
     mask = np.asarray(mask, bool)
     ndim = mask.ndim
-    if isinstance(align, int):
-        align = (align,) * ndim
-    align = np.array(align, dtype=np.int32)
-    if min_bbox_shape is None:
-        min_bbox_shape = (1,) * ndim
-    pre_bbox = bbox_from_mask(mask, mask_values=1, min_shape=min_bbox_shape[::-1])
+    align = np.asarray((align,) * ndim if isinstance(align, int) else align,
+                       np.int32)
+    tight = bbox_from_mask(mask, mask_values=1,
+                           min_shape=((1,) * ndim if min_bbox_shape is None
+                                      else min_bbox_shape)[::-1])
 
-    img_shape = np.array(mask.shape)
-    pre_bbox = pre_bbox.astype(np.int64)
-    pre_bbox[:ndim] = np.maximum(0, pre_bbox[:ndim] - padding)
-    pre_bbox[ndim:] = np.minimum(pre_bbox[ndim:] + padding, img_shape[::-1] - 1)
+    frame_rev = np.asarray(mask.shape[::-1])
+    start = np.clip(tight[:ndim] - padding, 0, None).astype(np.int64)
+    stop = np.clip(tight[ndim:] + padding, None, frame_rev - 1).astype(np.int64)
 
-    ctr = (pre_bbox[:ndim] + pre_bbox[ndim:]) / 2
-    region_shape = pre_bbox[ndim:] - pre_bbox[:ndim] + 1
-    needed_shape = np.ceil(region_shape / align).astype(np.int32) * align
-    point1 = np.maximum(0, np.int32(ctr - (needed_shape - 1) / 2))
-    point2 = np.minimum(img_shape[::-1] - 1, point1 + needed_shape - 1)
-    if not np.all((point2 - point1 + 1) % align == 0):
-        point1 = point2 + 1 - needed_shape
-    return np.concatenate((point1, point2), axis=0)
+    extent = -(-(stop - start + 1) // align) * align   # round up to align
+    center = (start + stop) / 2
+    a1 = np.clip((center - (extent - 1) / 2).astype(np.int32), 0, None)
+    a2 = np.minimum(frame_rev - 1, a1 + extent - 1)
+    if ((a2 - a1 + 1) % align).any():                  # overflowed: shift back
+        a1 = a2 + 1 - extent
+    return np.concatenate((a1, a2))
 
 
 def find_empty_slices(src_image: np.ndarray, axis: int = 0, empty_value=0):
