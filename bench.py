@@ -29,10 +29,9 @@ import statistics
 import time
 from pathlib import Path
 
-# Persistent XLA compilation cache (set BEFORE jax import): the tunnel's
-# remote compile of the fused step takes minutes; cache it across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()
 
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", "32"))
 STEPS = int(os.environ.get("BENCH_STEPS", "16"))

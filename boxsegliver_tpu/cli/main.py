@@ -21,7 +21,10 @@ import sys
 from pathlib import Path
 
 from boxsegliver_tpu import config as config_mod
+from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
 from boxsegliver_tpu.utils.logger import setup_logger
+
+ensure_compile_cache()  # before any (lazy) jax import
 
 TASKS = ("liver", "only_liver", "tumor", "nf", "nf_inter", "nf_3d",
          "synthetic")

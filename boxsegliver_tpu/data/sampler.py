@@ -164,7 +164,8 @@ class TrainSampler:
         self.max_objs = int(getattr(args, "max_objs", 8))
         self.context_list = self._parse_context_list(
             getattr(args, "context_list", None))
-        self._context_cache: Dict[int, np.ndarray] = {}
+        # per-case list of (feature name, [z, len]) arrays
+        self._context_cache: Dict[int, List[Tuple[str, np.ndarray]]] = {}
 
         self.tumor_cases = [i for i, c in enumerate(self.cases) if c["slices"]]
         if not self.cases:
@@ -217,7 +218,11 @@ class TrainSampler:
                 feat += (rng.normal(0.0, 1.0, feat.shape)
                          * self.args.hist_noise_scale).astype(np.float32)
             elif name == "glcm" and getattr(self.args, "glcm_noise", False):
-                scale = np.resize(GLCM_NOISE_SCALE, feat.shape)
+                if feat.size == GLCM_NOISE_SCALE.size:
+                    scale = GLCM_NOISE_SCALE
+                else:  # non-default GLCM layout: the per-dim table does not
+                    # apply; use its mean magnitude uniformly
+                    scale = np.float32(GLCM_NOISE_SCALE.mean())
                 feat += (rng.normal(0.0, 1.0, feat.shape)
                          * scale).astype(np.float32)
             parts.append(feat)

@@ -89,12 +89,14 @@ def bbox_from_mask(mask: np.ndarray, mask_values, min_shape=None, padding=None):
         return np.zeros(2 * ndim, np.int64)
     if min_shape is not None:
         assert len(min_shape) == ndim
-    selected = np.isin(mask, np.atleast_1d(mask_values))
+    values = np.atleast_1d(mask_values)
 
     lo_rev, hi_rev = [], []
     for axis in range(ndim - 1, -1, -1):  # x first
         other = tuple(a for a in range(ndim) if a != axis)
-        hits = np.flatnonzero(selected.any(axis=other))
+        # reference semantics: a slab counts when its MAX is one of the
+        # selected values (a higher label shadows lower ones, :96-99)
+        hits = np.flatnonzero(np.isin(mask.max(axis=other), values))
         lo_rev.append(int(hits[0]))
         hi_rev.append(int(hits[-1]))
     bbox = np.asarray(lo_rev + hi_rev, np.int64)

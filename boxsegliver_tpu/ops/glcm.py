@@ -131,19 +131,28 @@ def glcm_features(image: np.ndarray, distances: Sequence[int],
     return glcm, results
 
 
+# The reference's "all" feature list for the context dumps (extract.py:
+# 460-461): 8 props x 3 distances x 4 angles = 96 dims, matching the
+# pre-computed per-dimension train-noise scales (data/sampler.GLCM_NOISE_SCALE)
+DUMP_FEATURES = ("contrast", "dissimilarity", "homogeneity", "energy",
+                 "entropy", "correlation", "cluster_shade",
+                 "cluster_prominence")
+
+
 def case_glcm_features(volume_hu: np.ndarray, meta: Dict, mode: str = "train",
                        distances=(1, 2, 3),
                        angles=(0.0, np.pi / 4, np.pi / 2, np.pi * 3 / 4),
                        levels: int = 256,
-                       features: Sequence[str] = ("contrast", "dissimilarity",
-                                                  "homogeneity", "energy",
-                                                  "correlation"),
+                       features: Sequence[str] = DUMP_FEATURES,
                        gray_min: float = -200, gray_max: float = 250,
                        filter_size: int = 20) -> np.ndarray:
     """Per-slice GLCM context vectors over tumor bbox patches
     (reference dump_glcm_feature_for_train/_eval, extract.py:377-661):
     train = mean over the slice's own tumor patches; eval = each tumor's
-    middle-slice patch tiled across its z-range."""
+    middle-slice patch tiled across its z-range.  Patches are smoothed with a
+    0.5-sigma Gaussian first like the reference (extract.py:476)."""
+    from scipy import ndimage as ndi
+
     vol8 = ((np.clip(volume_hu, gray_min, gray_max) - gray_min)
             * (255.0 / (gray_max - gray_min))).astype(np.uint8)
     f_len = len(distances) * len(angles) * len(features)
@@ -156,6 +165,7 @@ def case_glcm_features(volume_hu: np.ndarray, meta: Dict, mode: str = "train",
         patch = vol8[z, y1:y2, x1:x2]
         if patch.size < filter_size:
             return None
+        patch = ndi.gaussian_filter(patch, 0.5)
         _, res = glcm_features(patch, distances, angles, levels,
                                features=features, flat=True, norm_levels=True)
         return np.concatenate([res[k] for k in features])

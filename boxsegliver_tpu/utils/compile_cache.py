@@ -1,0 +1,20 @@
+"""Persistent XLA compilation-cache bootstrap.
+
+Remote TPU compiles on this environment's tunnel take minutes per program;
+the persistent cache makes every subsequent run of the same config start in
+seconds.  Must run BEFORE jax is imported — call it at entry-point module
+top (cli/main.py, bench.py, __graft_entry__.py all do).
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_CACHE_DIR = "/tmp/jax_cache_tpu"
+
+
+def ensure_compile_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
+    """Idempotent env defaults; explicit user env vars always win."""
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

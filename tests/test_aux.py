@@ -71,7 +71,8 @@ def test_glcm_features_norm_and_case(tmp_path):
     dump_glcm_features(root, filter_size=4)
     meta = load_meta(root)[0]
     feats = np.load(root / "feat" / "glcm" / "train" / "000.npy")
-    assert feats.shape == (10, 60)
+    # reference "all" layout: 8 props x 3 distances x 4 angles = 96 dims
+    assert feats.shape == (10, 96)
     # tumor slices have non-zero features, non-tumor are zero
     tumor_z = set(meta["tumor_slices_index"])
     for z in range(10):
