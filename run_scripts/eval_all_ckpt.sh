@@ -12,7 +12,7 @@ shift 2
 
 PROJECT_DIR=$(dirname $(dirname $(realpath $0)))
 
-PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.eval_all_ckpt "${TASK}" \
+PYTHONPATH="${PROJECT_DIR}${PYTHONPATH:+:$PYTHONPATH}" python -m boxsegliver_tpu.cli.eval_all_ckpt "${TASK}" \
     --mode eval \
     --tag "${TAG}" \
     "$@"

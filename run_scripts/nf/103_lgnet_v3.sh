@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Mirrors reference scripts/103_lgnet_v3.sh (flag-for-flag; see _lib.sh for the
+# shared NF base flags).
+# usage: 103_lgnet_v3.sh {train|eval} [num_replicas] [extra flags...]
+TASK=${1:-train}
+REPLICAS=${2:-0}
+shift $(( $# >= 2 ? 2 : $# ))
+TAG=103_lgnet_v3
+source "$(dirname "$(realpath "$0")")/_lib.sh"
+if [[ "$TASK" == "train" ]]; then
+    nf_run nf_inter train --model LGNet --model_config LGNet_v3.yml \
+        --loss_numeric_w 1 1 --weight_decay_rate 0.00001 \
+        --num_of_total_steps 999999 --eval_per_epoch --save_best \
+        --use_spatial "$@"
+else
+    nf_run nf_inter eval --model LGNet --model_config LGNet_v3.yml \
+        --loss_numeric_w 1 1 "$@"
+fi

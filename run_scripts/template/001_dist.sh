@@ -35,7 +35,7 @@ print(len(jax.devices()))
 EOF
 )
     fi
-    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.main liver \
+    PYTHONPATH="${PROJECT_DIR}${PYTHONPATH:+:$PYTHONPATH}" python -m boxsegliver_tpu.cli.main liver \
         --mode train \
         "${COMMON_FLAGS[@]}" \
         --batch_size $(( 8 * DEVICES )) \
@@ -56,7 +56,7 @@ EOF
         --device_cache \
         "$@"
 elif [[ "$TASK" == "eval" ]]; then
-    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.main liver \
+    PYTHONPATH="${PROJECT_DIR}${PYTHONPATH:+:$PYTHONPATH}" python -m boxsegliver_tpu.cli.main liver \
         --mode eval \
         "${COMMON_FLAGS[@]}" \
         --batch_size 8 \

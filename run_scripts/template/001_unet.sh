@@ -24,7 +24,7 @@ COMMON_FLAGS=(
 )
 
 if [[ "$TASK" == "train" ]]; then
-    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.main liver \
+    PYTHONPATH="${PROJECT_DIR}${PYTHONPATH:+:$PYTHONPATH}" python -m boxsegliver_tpu.cli.main liver \
         --mode train \
         "${COMMON_FLAGS[@]}" \
         --noise_scale 0.05 \
@@ -46,7 +46,7 @@ if [[ "$TASK" == "train" ]]; then
         --save_best \
         "$@"
 elif [[ "$TASK" == "eval" ]]; then
-    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.main liver \
+    PYTHONPATH="${PROJECT_DIR}${PYTHONPATH:+:$PYTHONPATH}" python -m boxsegliver_tpu.cli.main liver \
         --mode eval \
         "${COMMON_FLAGS[@]}" \
         --metrics_eval Dice VOE RVD \

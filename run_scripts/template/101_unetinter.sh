@@ -26,7 +26,7 @@ COMMON_FLAGS=(
 )
 
 if [[ "$TASK" == "train" ]]; then
-    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.main nf_inter \
+    PYTHONPATH="${PROJECT_DIR}${PYTHONPATH:+:$PYTHONPATH}" python -m boxsegliver_tpu.cli.main nf_inter \
         --mode train \
         "${COMMON_FLAGS[@]}" \
         --zoom_scale 1.0 1.25 \
@@ -44,7 +44,7 @@ if [[ "$TASK" == "train" ]]; then
         --save_best \
         "$@"
 elif [[ "$TASK" == "eval" ]]; then
-    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.main nf_inter \
+    PYTHONPATH="${PROJECT_DIR}${PYTHONPATH:+:$PYTHONPATH}" python -m boxsegliver_tpu.cli.main nf_inter \
         --mode eval \
         "${COMMON_FLAGS[@]}" \
         --batch_size 8 \
@@ -52,7 +52,7 @@ elif [[ "$TASK" == "eval" ]]; then
         "$@"
 elif [[ "$TASK" == "inter" ]]; then
     # full click-refinement loop (reference entry/main_eval.py)
-    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.interactive_eval \
+    PYTHONPATH="${PROJECT_DIR}${PYTHONPATH:+:$PYTHONPATH}" python -m boxsegliver_tpu.cli.interactive_eval \
         --mode eval \
         "${COMMON_FLAGS[@]}" \
         --dim 2 \

@@ -24,7 +24,7 @@ COMMON_FLAGS=(
 )
 
 if [[ "$TASK" == "train" ]]; then
-    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.main nf \
+    PYTHONPATH="${PROJECT_DIR}${PYTHONPATH:+:$PYTHONPATH}" python -m boxsegliver_tpu.cli.main nf \
         --mode train \
         "${COMMON_FLAGS[@]}" \
         --im_depth 10 \
@@ -40,7 +40,7 @@ if [[ "$TASK" == "train" ]]; then
 elif [[ "$TASK" == "eval" ]]; then
     # whole-volume inference (--im_depth -1); add --z_shards N to shard the
     # depth axis across the mesh (sequence-parallel eval over ICI)
-    PYTHONPATH=${PROJECT_DIR} python -m boxsegliver_tpu.cli.main nf \
+    PYTHONPATH="${PROJECT_DIR}${PYTHONPATH:+:$PYTHONPATH}" python -m boxsegliver_tpu.cli.main nf \
         --mode eval \
         "${COMMON_FLAGS[@]}" \
         --im_depth -1 \
