@@ -97,12 +97,17 @@ def main(argv=None):
                 stddev=args.guide_stddev, guide_kind=args.guide_kind,
                 guide_channel=int(args.guide_channel))
         else:
+            from boxsegliver_tpu.evaluators.volume3d import pad_to_multiple
+            pvol, pads = pad_to_multiple(vol[..., None], (2, 16, 16))
+            plab = np.pad(lab, [(0, p) for p in pads]) if any(pads) else lab
             res = interactive_eval_3d(
-                trainer.predict, vol, lab, dice_thresh=args.dice_thresh,
+                trainer.predict, pvol[..., 0], plab,
+                dice_thresh=args.dice_thresh,
                 max_iters=args.max_iters, stddev=args.guide_stddev,
                 tta=args.tta,
                 use_cascade=bool(getattr(args, "use_cascade", False)),
-                cascade_binary=bool(getattr(args, "cascade_binary", False)))
+                cascade_binary=bool(getattr(args, "cascade_binary", False)),
+                guide_channel=int(getattr(args, "guide_channel", 1)))
         logger.info("case %s: Dice=%.3f clicks=%.1f", pid, res["Dice"],
                     res["clicks"])
         all_results.append(res)

@@ -121,16 +121,18 @@ def interactive_eval_3d(predict_fn: Callable, volume: np.ndarray,
                         label: np.ndarray, *, dice_thresh: float = 0.85,
                         max_iters: int = 20, stddev: float = 5.0,
                         tta: bool = False, use_cascade: bool = False,
-                        cascade_binary: bool = False) -> Dict[str, float]:
+                        cascade_binary: bool = False,
+                        guide_channel: int = 1) -> Dict[str, float]:
     """Whole-volume interactive loop (reference entry/main_eval_3d.py:326-420):
     click at the largest error component's center, update the 3D Gaussian
     guide, re-predict (optionally with 8-way mirror TTA), until Dice clears
     the threshold or the budget runs out.
 
-    predict_fn({"images": [1,d,h,w,c]}) → probs [1,d,h,w,nc]; the guide is
-    concatenated as the last image channel (UNet3D use_spatial contract).
-    use_cascade adds the GT-oracle channel from the first positive click's
-    slice once it exists (reference main_eval_3d.py:348-369).
+    predict_fn({"images": [1,d,h,w,c], "sp_guide": [1,d,h,w,gc]}) → probs
+    [1,d,h,w,nc] — the guide travels on the UNet3D use_spatial input
+    (guide_channel 1 = fg−bg, 2 = stacked, reference main_eval_3d.py:372-373).
+    use_cascade adds the GT-oracle IMAGE channel from the first positive
+    click's slice once it exists (reference main_eval_3d.py:348-369).
     """
     shape = label.shape
     fg_clicks: List[Tuple] = []
@@ -158,17 +160,24 @@ def interactive_eval_3d(predict_fn: Callable, volume: np.ndarray,
             cascade_set = True
         fg_g = render_click_guide(shape, fg_clicks, stddev)
         bg_g = render_click_guide(shape, bg_clicks, stddev)
-        guide = (fg_g - bg_g)[..., None]
+        if guide_channel == 2:
+            guide = np.stack([fg_g, bg_g], axis=-1)
+        else:
+            guide = (fg_g - bg_g)[..., None]
         parts = [volume[..., None] if volume.ndim == 3 else volume]
         if use_cascade:
             parts.append(cascade_ch)
-        x = np.concatenate(parts + [guide], axis=-1)[None].astype(np.float32)
+        x = np.concatenate(parts, axis=-1)[None].astype(np.float32)
+        g = guide[None].astype(np.float32)
         acc = None
         for axes in flips:
-            xin = x
+            xin, gin = x, g
             for ax in axes:
                 xin = np.flip(xin, axis=ax)
-            probs = np.asarray(predict_fn({"images": np.ascontiguousarray(xin)}))
+                gin = np.flip(gin, axis=ax)
+            probs = np.asarray(predict_fn(
+                {"images": np.ascontiguousarray(xin),
+                 "sp_guide": np.ascontiguousarray(gin)}))
             for ax in axes:
                 probs = np.flip(probs, axis=ax)
             acc = probs if acc is None else acc + probs

@@ -123,7 +123,7 @@ def test_interactive_eval_3d_with_cascade():
     shapes = []
 
     def stub_predict(feats):
-        shapes.append(feats["images"].shape)
+        shapes.append((feats["images"].shape, feats["sp_guide"].shape))
         x = feats["images"]
         probs = np.zeros(x.shape[:-1] + (2,), np.float32)
         probs[..., 1] = (x[..., 0] > 0.5).astype(np.float32)
@@ -134,8 +134,8 @@ def test_interactive_eval_3d_with_cascade():
                               max_iters=3, use_cascade=True,
                               cascade_binary=True)
     assert res["Dice"] > 0.9 and res["clicks"] >= 1
-    # channels: volume + cascade + guide
-    assert all(s[-1] == 3 for s in shapes)
+    # images: volume + cascade channels; guide on the sp_guide input
+    assert all(si[-1] == 2 and sg[-1] == 1 for si, sg in shapes)
 
 
 def test_filter_tiny_nf_and_hybrid_eval(nf_root, tmp_path):
