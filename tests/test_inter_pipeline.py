@@ -231,3 +231,30 @@ def test_nf_inter_end_to_end_train_and_online_eval(nf_root, tmp_path):
     assert "NF/Dice" in results
     assert 0.0 <= results["NF/Dice"] <= 1.0
     trainer.ckpt.close()
+
+
+def test_bg_strategy_distribution(nf_root, tmp_path, monkeypatch):
+    """Background click strategies follow the reference's rule: 4 when the
+    crop has false positives, else a fair coin between 1 (band) and 3
+    (evenly-surround) (gen_kernel, input_pipeline_g_simply.py:546-552)."""
+    from boxsegliver_tpu.data import sampler_inter as si
+
+    recorded = []
+    real = si.inter_simulation
+
+    def spy(mask, **kw):
+        if kw.get("bg"):
+            recorded.append(kw.get("strategy"))
+        return real(mask, **kw)
+
+    monkeypatch.setattr(si, "inter_simulation", spy)
+    args = _args(nf_root, tmp_path / "m")
+    s = si.InterSampler(nf_root, args, mode="train")
+    rng = np.random.RandomState(123)
+    for _ in range(12):
+        s.sample_batch(BS, rng=rng)
+    n1 = recorded.count(1)
+    n3 = recorded.count(3)
+    assert n1 + n3 == len(recorded) and len(recorded) == 12 * BS
+    # fair coin: both arms well represented (96 draws, p<1e-9 to fail)
+    assert min(n1, n3) > len(recorded) * 0.25
