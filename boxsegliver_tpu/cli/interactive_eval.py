@@ -107,7 +107,8 @@ def main(argv=None):
                 tta=args.tta,
                 use_cascade=bool(getattr(args, "use_cascade", False)),
                 cascade_binary=bool(getattr(args, "cascade_binary", False)),
-                guide_channel=int(getattr(args, "guide_channel", 1)))
+                guide_channel=int(getattr(args, "guide_channel", 1)),
+                valid_shape=vol.shape)
         logger.info("case %s: Dice=%.3f clicks=%.1f", pid, res["Dice"],
                     res["clicks"])
         all_results.append(res)

@@ -36,7 +36,8 @@ FIXED_CLIP = (50.0 * IM_SCALE, 500.0 * IM_SCALE)
 
 # Pre-computed per-dimension GLCM train-noise scales — data constants from the
 # reference (~1% of each feature's 2.5-97.5 percentile span,
-# input_pipeline_g.py:58-69), tiled to the configured GLCM feature length.
+# input_pipeline_g.py:58-69) for the default 96-dim "all" layout; other
+# layouts fall back to the table's mean magnitude (see _sample_context).
 GLCM_NOISE_SCALE = np.array(
     [0.0004, 0.0008, 0.0005, 0.0008, 0.001, 0.0008, 0.0012, 0.0008, 0.0013,
      0.0014, 0.0015, 0.0014, 0.0013, 0.0016, 0.0013, 0.0017, 0.0019, 0.0016,

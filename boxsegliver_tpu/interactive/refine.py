@@ -122,7 +122,8 @@ def interactive_eval_3d(predict_fn: Callable, volume: np.ndarray,
                         max_iters: int = 20, stddev: float = 5.0,
                         tta: bool = False, use_cascade: bool = False,
                         cascade_binary: bool = False,
-                        guide_channel: int = 1) -> Dict[str, float]:
+                        guide_channel: int = 1,
+                        valid_shape=None) -> Dict[str, float]:
     """Whole-volume interactive loop (reference entry/main_eval_3d.py:326-420):
     click at the largest error component's center, update the 3D Gaussian
     guide, re-predict (optionally with 8-way mirror TTA), until Dice clears
@@ -183,6 +184,13 @@ def interactive_eval_3d(predict_fn: Callable, volume: np.ndarray,
             acc = probs if acc is None else acc + probs
         probs = acc[0] / len(flips)
         pred = (probs.argmax(-1) > 0).astype(np.uint8)
+        if valid_shape is not None:
+            # alignment padding is not part of the case: zero predictions
+            # there so neither Dice nor click placement sees pad artifacts
+            vd, vh, vw = valid_shape
+            mask = np.zeros_like(pred)
+            mask[:vd, :vh, :vw] = 1
+            pred *= mask
         dice = ConfusionMatrix(pred, label.astype(int)).global_dice
         if dice > dice_thresh:
             break

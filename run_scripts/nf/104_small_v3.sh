@@ -7,13 +7,13 @@ REPLICAS=${2:-0}
 shift $(( $# >= 2 ? 2 : $# ))
 TAG=104_small_v3
 source "$(dirname "$(realpath "$0")")/_lib.sh"
+MODEL_FLAGS=(--model SmallUNet --loss_numeric_w 1 1
+    --use_spatial --local_enhance --stddev 5.)
 if [[ "$TASK" == "train" ]]; then
-    nf_run nf_inter train --model SmallUNet \
-        --loss_numeric_w 1 1 --weight_decay_rate 0.00003 \
+    nf_run nf_inter train "${MODEL_FLAGS[@]}" \
+        --weight_decay_rate 0.00003 \
         --num_of_total_steps 250000 --eval_per_epoch --save_best \
-        --use_spatial --local_enhance --stddev 5. --fp_sample \
-        --save_interval 50000 "$@"
+        --fp_sample --save_interval 50000 "$@"
 else
-    nf_run nf_inter eval --model SmallUNet --loss_numeric_w 1 1 \
-        --local_enhance --stddev 5. "$@"
+    nf_run nf_inter eval "${MODEL_FLAGS[@]}" "$@"
 fi

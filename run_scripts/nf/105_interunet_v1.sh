@@ -7,13 +7,13 @@ REPLICAS=${2:-0}
 shift $(( $# >= 2 ? 2 : $# ))
 TAG=105_interunet_v1
 source "$(dirname "$(realpath "$0")")/_lib.sh"
+MODEL_FLAGS=(--model InterUNet --loss_numeric_w 1 1
+    --use_spatial --local_enhance --stddev 5. --img_grad)
 if [[ "$TASK" == "train" ]]; then
-    nf_run nf_inter train --model InterUNet \
-        --loss_numeric_w 1 1 --weight_decay_rate 0.00003 \
+    nf_run nf_inter train "${MODEL_FLAGS[@]}" \
+        --weight_decay_rate 0.00003 \
         --num_of_total_steps 250000 --eval_per_epoch --save_best \
-        --use_spatial --local_enhance --stddev 5. --img_grad \
         --save_interval 50000 "$@"
 else
-    nf_run nf_inter eval --model InterUNet --loss_numeric_w 1 1 \
-        --local_enhance --stddev 5. --img_grad "$@"
+    nf_run nf_inter eval "${MODEL_FLAGS[@]}" "$@"
 fi
