@@ -94,7 +94,20 @@ def main():
     it = iter(dataset)
     drain_every = int(args.metrics_fetch_steps)
 
-    def run_window(n):
+    # Compile the product step ONCE ahead of time and use the same executable
+    # for cost analysis AND timing (the tunnel's remote compile costs minutes;
+    # two separate compiles can blow the driver's bench budget on a cold
+    # cache).  The AOT-compiled object is the exact executable the trainer's
+    # jit would run (same function, shardings, donation).
+    batch0 = next(it)
+    feats0 = jax.device_put(batch0, trainer._data_sharding)
+    rng0 = jax.random.PRNGKey(0)
+    compiled = trainer._train_step.lower(trainer.state, feats0, None,
+                                         rng0).compile()
+    flops_per_step = _step_flops(compiled)
+    state = trainer.state
+
+    def run_window(n, state):
         """n product steps: device_put raw batch -> fused compiled step ->
         bulk metric drain every drain_every steps (the product loop body)."""
         pending = []
@@ -102,21 +115,23 @@ def main():
         for _ in range(n):
             batch = next(it)
             feats = jax.device_put(batch, trainer._data_sharding)
-            metrics = trainer.train_step(feats, None)
+            state, metrics = compiled(state, feats, None, rng0)
             pending.append(metrics)
             if len(pending) >= drain_every:
                 jax.device_get(pending)
                 pending = []
         if pending:
             jax.device_get(pending)
-        return time.perf_counter() - t0
+        return time.perf_counter() - t0, state
 
-    run_window(3)  # warmup / compile
-    windows = sorted(run_window(STEPS) for _ in range(WINDOWS))
+    _, state = run_window(3, state)  # warmup
+    windows = []
+    for _ in range(WINDOWS):
+        dt, state = run_window(STEPS, state)
+        windows.append(dt)
+    windows = sorted(windows)
     med = statistics.median(windows)
     best = windows[0]
-
-    flops_per_step = _step_flops(trainer, it)
     med_sps = STEPS * BATCH_SIZE / med
     best_sps = STEPS * BATCH_SIZE / best
     dataset.close()
@@ -132,15 +147,10 @@ def main():
     }))
 
 
-def _step_flops(trainer, it) -> float:
+def _step_flops(compiled) -> float:
     """XLA cost analysis of the compiled product step (for the MFU report)."""
-    import jax
     try:
-        batch = next(it)
-        feats = jax.device_put(batch, trainer._data_sharding)
-        lowered = trainer._train_step.lower(trainer.state, feats, None,
-                                            jax.random.PRNGKey(0))
-        ca = lowered.compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         return float(ca.get("flops", 0.0))
