@@ -17,16 +17,23 @@ LITS_SEED = 1357  # reference Liver/input_pipeline_g.py:187
 
 
 def random_split_k_fold(items: List, k: int, seed: Optional[int] = None) -> List[List]:
-    state = np.random.get_state()
-    np.random.seed(seed)
-    items = list(items)
-    np.random.shuffle(items)
-    np.random.set_state(state)
+    """Seeded-shuffle k-way split.  NB: the shuffle MUST go through the
+    legacy global np.random stream under `seed` — that exact stream defines
+    the reference's committed splits (semantics of reference misc.py:24-43,
+    pinned by tests/test_golden.py::test_kfold_generator_matches_reference).
+    The caller's global RNG state is preserved."""
+    shuffled = list(items)
+    saved_state = np.random.get_state()
+    try:
+        np.random.seed(seed)
+        np.random.shuffle(shuffled)
+    finally:
+        np.random.set_state(saved_state)
 
-    num_test = len(items) // k
-    folds = [items[i * num_test:(i + 1) * num_test] for i in range(k)]
-    for i, extra in enumerate(items[k * num_test:]):
-        folds[i].append(extra)
+    base = len(shuffled) // k
+    folds = [shuffled[i * base:(i + 1) * base] for i in range(k)]
+    for i, leftover in enumerate(shuffled[k * base:]):
+        folds[i].append(leftover)
     return folds
 
 
