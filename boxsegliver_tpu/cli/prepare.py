@@ -54,9 +54,11 @@ def main(argv=None):
     p.add_argument("--bins", type=int, default=100)
 
     p = sub.add_parser("negcache", help="False-positive negatives cache from "
-                       "saved predictions (nf_inter --fp_sample)")
+                       "saved predictions (nf_inter --fp_sample); several "
+                       "--pred_dir values build the union cache (reference "
+                       "--fp_version 2, load_neg_v2)")
     p.add_argument("--dst", required=True)
-    p.add_argument("--pred_dir", required=True)
+    p.add_argument("--pred_dir", required=True, nargs="+")
     p.add_argument("--min_size", type=int, default=5)
 
     args = parser.parse_args(argv)

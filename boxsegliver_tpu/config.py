@@ -274,6 +274,14 @@ def add_pipeline_arguments(parser: argparse.ArgumentParser):
     group.add_argument("--sample_neg", type=float, default=0.0,
                        help="Fraction of training crops centered on "
                             "false-positive voxels")
+    group.add_argument("--fp_version", type=int, default=1, choices=[1, 2],
+                       help="Negatives-cache variant: 1 = neg/ (single-model "
+                            "predictions), 2 = neg_v2/ (union over several "
+                            "checkpoints; reference load_neg_v2)")
+    group.add_argument("-ds", "--downsampling", action="store_true",
+                       help="Train on 2x spatially-downsampled volumes for "
+                            "fast experiments (reference load_data_ds, "
+                            "NF/input_pipeline_g_simply.py:161-204)")
     group.add_argument("--max_clicks", type=int, default=8,
                        help="Static padding size for simulated click arrays")
     group.add_argument("--use_cascade", action="store_true",

@@ -96,6 +96,24 @@ class CaseVolumes:
         return self._labs[pid]
 
 
+class DownsampledVolumes(CaseVolumes):
+    """2x spatial downsampling view over the npy cache (-ds/--downsampling,
+    reference load_data_ds, NF/input_pipeline_g_simply.py:161-204: volumes
+    and labels strided [:, ::2, ::2] for fast experiments)."""
+
+    def volume(self, pid: int) -> np.ndarray:
+        return super().volume(pid)[:, ::2, ::2]
+
+    def label(self, pid: int) -> np.ndarray:
+        return super().label(pid)[:, ::2, ::2]
+
+
+def ds_size(size, downsampling: bool):
+    """Case (depth, height, width) under the optional 2x spatial stride."""
+    d, h, w = size
+    return (d, (h + 1) // 2, (w + 1) // 2) if downsampling else (d, h, w)
+
+
 def _randint(rng: np.random.RandomState, a: int, b: int) -> int:
     """Inclusive-range randint (python random.randint semantics)."""
     return int(rng.randint(a, b + 1)) if b >= a else a

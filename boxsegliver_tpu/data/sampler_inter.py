@@ -108,10 +108,13 @@ class InterSampler:
         self._neg: Dict[int, Optional[np.ndarray]] = {}
         self._neg_tables: Dict[int, Optional[Dict]] = {}
 
-    # -- negatives cache (reference load_neg, input_pipeline_g_simply.py:207) --
+    # -- negatives cache (reference load_neg[_v2], --fp_version,
+    # input_pipeline_g_simply.py:207-335) --
     def _neg_volume(self, pid: int) -> Optional[np.ndarray]:
         if pid not in self._neg:
-            path = self.root / "neg" / f"volume-{pid}.npy"
+            sub = ("neg" if int(getattr(self.args, "fp_version", 1)) == 1
+                   else "neg_v2")
+            path = self.root / sub / f"volume-{pid}.npy"
             self._neg[pid] = np.load(path, mmap_mode="r") if path.exists() else None
         return self._neg[pid]
 
@@ -317,29 +320,47 @@ class InterSampler:
         return out
 
 
-def build_neg_cache(pred_dir, dataset_dir, min_size: int = 5) -> List[Path]:
+def _load_pred(path) -> np.ndarray:
+    from boxsegliver_tpu.data import nii as nii_kits
+    if path.suffix == ".npz":
+        return np.load(path)["arr_0"]
+    _, pred = nii_kits.read_nii(path, out_dtype=np.uint8)
+    return pred
+
+
+def build_neg_cache(pred_dirs, dataset_dir, min_size: int = 5) -> List[Path]:
     """Build the false-positive negatives cache from saved predictions
     (reference load_neg, input_pipeline_g_simply.py:207-262, dim=2): per
     slice, 2D-connected components of the prediction that do not touch the
     ground truth and are larger than `min_size` pixels.  Written as
     ``<dataset>/neg/volume-<pid>.npy`` uint8 masks consumed by InterSampler
-    (--fp_sample / --sample_neg)."""
+    (--fp_sample / --sample_neg).
+
+    pred_dirs: one directory, or several — with several, each case's
+    prediction is the UNION over the dirs before component analysis
+    (reference load_neg_v2, input_pipeline_g_simply.py:265-335, the
+    --fp_version 2 cache built from five checkpoints' predictions).
+    version selects the on-disk cache name (neg/ vs neg_v2/), matching the
+    reference's neg_2d vs neg_2d_v2 pickles selected by --fp_version."""
     from scipy import ndimage as ndi
 
-    from boxsegliver_tpu.data import nii as nii_kits
-
-    pred_dir, root = Path(pred_dir), Path(dataset_dir)
-    out_dir = root / "neg"
+    if isinstance(pred_dirs, (str, Path)):
+        pred_dirs = [pred_dirs]
+    pred_dirs = [Path(p) for p in pred_dirs]
+    version = 2 if len(pred_dirs) > 1 else 1
+    root = Path(dataset_dir)
+    out_dir = root / ("neg" if version == 1 else "neg_v2")
     out_dir.mkdir(parents=True, exist_ok=True)
     struct = ndi.generate_binary_structure(2, 1)
     written = []
-    for path in sorted(pred_dir.glob("predict-*.nii*")) + \
-            sorted(pred_dir.glob("predict-*.npz")):
+    for path in sorted(pred_dirs[0].glob("predict-*.nii*")) + \
+            sorted(pred_dirs[0].glob("predict-*.npz")):
         pid = int(path.name.split(".")[0].split("-")[-1])
-        if path.suffix == ".npz":
-            pred = np.load(path)["arr_0"]
-        else:
-            _, pred = nii_kits.read_nii(path, out_dtype=np.uint8)
+        pred = (_load_pred(path) > 0).astype(np.uint8)
+        for extra in pred_dirs[1:]:
+            other = extra / path.name
+            if other.exists():
+                pred |= (_load_pred(other) > 0).astype(np.uint8)
         lab = np.load(root / f"volume-{pid}" / "segmentation.npy",
                       mmap_mode="r")
         result = np.zeros(pred.shape, np.uint8)

@@ -291,31 +291,10 @@ class EvaluateVolume(EvaluateBase):
                 if getattr(args, "save_sp_guide", False):
                     loader.save_guides(Path(args.model_dir) / "sp_guide")
             probs3d = np.maximum(volumes["Forward"], volumes["Backward"][::-1])
-            results = {}
-            if do_eval:
-                results = self.evaluate_case(case, probs3d, accumulator)
-                self.append_metrics(results)
-            if save:
-                vol = (np.argmax(probs3d, -1).astype(np.uint8)
-                       if args.pred_type == "pred" else probs3d)
-                self.save_case(case, vol, save_path or
-                               Path(args.model_dir) / args.save_path,
-                               dtype=args.pred_type)
             n += 1
-            msg = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
-            logger.info("Evaluate-%d case %s %s (%.3f s)", n, case.pid, msg,
-                        time.time() - t0)
-        results = self.mean_metrics()
-        if accumulator:
-            for cls in self.classes:
-                denom = (2 * accumulator[cls + "_tp"] + accumulator[cls + "_fn"]
-                         + accumulator[cls + "_fp"])
-                results["G" + cls + "Dice"] = (
-                    2 * accumulator[cls + "_tp"] / denom if denom else 0.0)
-        display = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
-        logger.info("----Process %d cases %s", n, display)
-        self._persist_results(results)
-        return results
+            self._finish_case(case, probs3d, accumulator, save, save_path,
+                              do_eval, n, t0)
+        return self._finish_run(accumulator, n)
 
     def run_sp(self, predict_fn: Callable, case_metas: Iterable[Dict],
                save: bool = False, save_path=None, do_eval: bool = True
@@ -372,20 +351,35 @@ class EvaluateVolume(EvaluateBase):
                     guide[sid] = array_kits.create_gaussian_distribution_v2(
                         pshape, centers, stddevs) * args.eval_discount
             probs = self.predict_case(predict_fn, case, sp_guide=guide)
-            results = {}
-            if do_eval:
-                results = self.evaluate_case(case, probs, accumulator)
-                self.append_metrics(results)
-            if save:
-                vol = (np.argmax(probs, -1).astype(np.uint8)
-                       if args.pred_type == "pred" else probs)
-                self.save_case(case, vol, save_path or
-                               Path(args.model_dir) / args.save_path,
-                               dtype=args.pred_type)
             n += 1
-            msg = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
-            logger.info("Evaluate-%d case %s %s (%.3f s)", n, case.pid, msg,
-                        time.time() - t0)
+            self._finish_case(case, probs, accumulator, save, save_path,
+                              do_eval, n, t0)
+        return self._finish_run(accumulator, n)
+
+    def _finish_case(self, case: EvalCase, probs: np.ndarray, accumulator,
+                     save: bool, save_path, do_eval: bool, n: int,
+                     t0: float) -> Dict[str, float]:
+        """Shared per-case tail of run/run_g/run_sp: score + confusion
+        accumulation, optional save, per-case log line."""
+        results = {}
+        if do_eval:
+            results = self.evaluate_case(case, probs, accumulator)
+            self.append_metrics(results)
+        if save:
+            vol = (np.argmax(probs, -1).astype(np.uint8)
+                   if self.args.pred_type == "pred" else probs)
+            self.save_case(case, vol, save_path or
+                           Path(self.args.model_dir) / self.args.save_path,
+                           dtype=self.args.pred_type)
+        msg = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
+        logger.info("Evaluate-%d case %s %s (%.3f s)", n, case.pid, msg,
+                    time.time() - t0)
+        return results
+
+    def _finish_run(self, accumulator: Dict[str, int], n: int
+                    ) -> Dict[str, float]:
+        """Shared end-of-run tail: mean metrics + global dice from the
+        confusion accumulator + summary log + JSON persist."""
         results = self.mean_metrics()
         if accumulator:
             for cls in self.classes:
@@ -433,31 +427,10 @@ class EvaluateVolume(EvaluateBase):
                 probs = self.predict_case_patches(predict_fn, case)
             else:
                 probs = self.predict_case(predict_fn, case)
-            results = {}
-            if do_eval:
-                results = self.evaluate_case(case, probs, accumulator)
-                self.append_metrics(results)
-            if save:
-                vol = (np.argmax(probs, -1).astype(np.uint8)
-                       if args.pred_type == "pred" else probs)
-                self.save_case(case, vol, save_path or
-                               Path(args.model_dir) / args.save_path,
-                               dtype=args.pred_type)
             n += 1
-            msg = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
-            logger.info("Evaluate-%d case %s %s (%.3f s)", n, case.pid, msg,
-                        time.time() - t0)
-        results = self.mean_metrics()
-        if accumulator:
-            for cls in self.classes:
-                denom = (2 * accumulator[cls + "_tp"] + accumulator[cls + "_fn"]
-                         + accumulator[cls + "_fp"])
-                results["G" + cls + "Dice"] = (
-                    2 * accumulator[cls + "_tp"] / denom if denom else 0.0)
-        display = " ".join(f"{k}: {v:.3f}" for k, v in results.items())
-        logger.info("----Process %d cases %s", n, display)
-        self._persist_results(results)
-        return results
+            self._finish_case(case, probs, accumulator, save, save_path,
+                              do_eval, n, t0)
+        return self._finish_run(accumulator, n)
 
 
 def make_inline_eval_fn(evaluator: EvaluateVolume, case_metas: List[Dict],

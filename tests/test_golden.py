@@ -149,11 +149,10 @@ def test_metric3d_golden(g):
                                         "MSD"],
                               sampling=tuple(g["surf_spacing"]))
     assert out["Dice"] == pytest.approx(float(g["vol_dice"]), rel=1e-6)
-    # VOE = 1 - jaccard (percent-free in metric_3d? keep reference scale)
-    assert out["VOE"] == pytest.approx(1.0 - float(g["vol_jc"]), rel=1e-6) or \
-        out["VOE"] == pytest.approx(100.0 * (1.0 - float(g["vol_jc"])), rel=1e-6)
-    assert out["RVD"] == pytest.approx(float(g["vol_ravd"]), rel=1e-6) or \
-        out["RVD"] == pytest.approx(100.0 * float(g["vol_ravd"]), rel=1e-6)
+    # Reference scale is FRACTIONAL, not percent: VOE = 1 - medpy jc and
+    # RVD = |medpy ravd| with no x100 (reference loss_metrics.py:446-450).
+    assert out["VOE"] == pytest.approx(1.0 - float(g["vol_jc"]), rel=1e-6)
+    assert out["RVD"] == pytest.approx(abs(float(g["vol_ravd"])), rel=1e-6)
     assert out["ASSD"] == pytest.approx(float(g["surf_assd"]), rel=1e-5)
     assert out["RMSD"] == pytest.approx(float(g["surf_rmsd"]), rel=1e-5)
     assert out["MSD"] == pytest.approx(float(g["surf_msd"]), rel=1e-5)
