@@ -34,6 +34,10 @@ def build_parser():
                        choices=["gaussian", "euclidean", "geodesic"])
     group.add_argument("--tta", action="store_true",
                        help="8-way mirror TTA in the 3D loop")
+    group.add_argument("--task", type=str, default="synthetic",
+                       help="dataset pairing (as in cli.main); 'synthetic' "
+                            "auto-generates, anything else resolves "
+                            "<data_root>/<dataset>")
     return parser
 
 
@@ -42,7 +46,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
     config_mod.check_args(args, parser)
     config_mod.fill_default_args(args)
-    args.task = "synthetic"
     logger = setup_logger(args.model_dir, "eval_inter", args.tag)
 
     from boxsegliver_tpu.cli.main import build_trainer, resolve_dataset_dir

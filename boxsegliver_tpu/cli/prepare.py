@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=24)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--modality", choices=["liver", "nf"], default="liver")
+    p.add_argument("--variant", choices=["easy", "hard"], default="easy",
+                   help="hard = low-contrast small lesions + unlabeled "
+                        "distractor twins (guide-value benchmark)")
+    p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("infer_context", help="Histogram context from REAL "
                        "user interactions (reference gen_infer_context)")
@@ -91,7 +95,8 @@ def main(argv=None):
         from boxsegliver_tpu.data.synthetic import make_synthetic_dataset
         root = make_synthetic_dataset(args.dst, n_cases=args.cases,
                                       shape=(args.depth, args.size, args.size),
-                                      modality=args.modality)
+                                      modality=args.modality,
+                                      variant=args.variant, seed=args.seed)
         print(f"Synthetic dataset → {root}")
     elif args.cmd == "infer_context":
         from boxsegliver_tpu.data.meta import gen_infer_context

@@ -94,6 +94,10 @@ def add_model_arguments(parser: argparse.ArgumentParser, model_choices):
     group.add_argument("--weight_init", type=str, default="xavier",
                        choices=["trunc_norm", "xavier"],
                        help="Model variable initialization method")
+    group.add_argument("--lane_pack", type=str, default="auto",
+                       choices=["auto", "on", "off"],
+                       help="Width-packed full-resolution stage (TPU lane "
+                            "fill, models/packed.py); auto = on for TPU")
     group.add_argument("--normalizer", type=str, default="batch_norm",
                        choices=["batch_norm", "instance_norm"],
                        help="Normalization method")

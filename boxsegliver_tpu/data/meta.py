@@ -242,11 +242,15 @@ def case_hist_features(volume: np.ndarray, labels: np.ndarray, mode: str = "trai
 
 def dump_hist_features(dataset_dir, out_dir=None, modes=("train", "eval"),
                        bins: int = 100,
-                       xrng: Tuple[float, float] = (GRAY_MIN + 50, GRAY_MAX - 50)):
+                       xrng: Tuple[float, float] = (GRAY_MIN + 50, GRAY_MAX - 50),
+                       gray_min: float = GRAY_MIN, organ_val: int = 1,
+                       tumor_val: int = 2):
     """feat/hist/{train,eval}/<PID>.npy next to the npy cache.
 
-    Reads the cached uint16 volumes and converts back to HU before histogram
-    (stored = (HU - GRAY_MIN) * IM_SCALE)."""
+    Reads the cached uint16 volumes and converts back to raw intensity before
+    histogram (stored = (raw - gray_min) * IM_SCALE).  NF datasets pass
+    gray_min=0 and organ_val=tumor_val=1 (the lesion label doubles as the
+    region of interest; reference NF/extract.py hist menu)."""
     root = Path(dataset_dir)
     out = Path(out_dir) if out_dir else root / "feat" / "hist"
     metas = load_meta(root)
@@ -256,10 +260,13 @@ def dump_hist_features(dataset_dir, out_dir=None, modes=("train", "eval"),
         case_dir = root / f"volume-{m['PID']}"
         if not case_dir.exists():
             case_dir = root / Path(m["vol_case"]).stem.split(".")[0]
-        volume = np.load(case_dir / "volume.npy").astype(np.float32) / IM_SCALE + GRAY_MIN
+        volume = np.load(case_dir / "volume.npy").astype(np.float32) / IM_SCALE \
+            + gray_min
         labels = np.load(case_dir / "segmentation.npy")
         for mode in modes:
-            hists = case_hist_features(volume, labels, mode, bins, xrng)
+            hists = case_hist_features(volume, labels, mode, bins, xrng,
+                                       organ_val=organ_val,
+                                       tumor_val=tumor_val)
             np.save(out / mode / ("%03d.npy" % m["PID"]), hists)
     return out
 

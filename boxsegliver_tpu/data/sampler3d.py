@@ -22,7 +22,7 @@ from scipy import ndimage as ndi
 
 from boxsegliver_tpu.data.kfold import LITS_SEED, read_or_create_k_folds, train_test_split
 from boxsegliver_tpu.data.meta import load_meta
-from boxsegliver_tpu.data.sampler import CaseVolumes
+from boxsegliver_tpu.data.sampler import CaseVolumes, DownsampledVolumes
 
 
 def volume_crop(shape: Tuple[int, int, int], center, crop: Tuple[int, int, int]):
@@ -58,7 +58,9 @@ class Sampler3D:
         self.metas = [m for m in metas if int(m["PID"]) in pid_set]
         if not self.metas:
             raise ValueError(f"No cases for mode={mode} in {dataset_dir}")
-        self.vols = CaseVolumes(self.root)
+        self.vols = (DownsampledVolumes(self.root)
+                     if getattr(args, "downsampling", False)
+                     else CaseVolumes(self.root))
         self.rng = np.random.RandomState(seed)
         self.patch = (args.im_depth if args.im_depth > 0 else 8,
                       args.im_height, args.im_width)

@@ -35,7 +35,8 @@ import numpy as np
 from boxsegliver_tpu.data.kfold import (LITS_SEED, read_or_create_k_folds,
                                         train_test_split)
 from boxsegliver_tpu.data.meta import load_meta
-from boxsegliver_tpu.data.sampler import CaseVolumes, _randint
+from boxsegliver_tpu.data.sampler import (CaseVolumes, DownsampledVolumes,
+                                          _randint, ds_size)
 from boxsegliver_tpu.interactive.clicks import inter_simulation
 
 # Fixed simulator constants (reference gen_kernel,
@@ -74,7 +75,9 @@ class InterSampler:
         self.metas: List[Dict] = [m for m in metas if int(m["PID"]) in pid_set]
         if not self.metas:
             raise ValueError(f"No cases for mode={mode} in {dataset_dir}")
-        self.vols = CaseVolumes(self.root)
+        self.downsampling = bool(getattr(args, "downsampling", False))
+        self.vols = (DownsampledVolumes(self.root) if self.downsampling
+                     else CaseVolumes(self.root))
         self.mode = mode
         self.train = mode == "train"
         self.rng = np.random.RandomState(EVAL_SEED if not self.train else seed)
@@ -115,7 +118,10 @@ class InterSampler:
             sub = ("neg" if int(getattr(self.args, "fp_version", 1)) == 1
                    else "neg_v2")
             path = self.root / sub / f"volume-{pid}.npy"
-            self._neg[pid] = np.load(path, mmap_mode="r") if path.exists() else None
+            neg = np.load(path, mmap_mode="r") if path.exists() else None
+            if neg is not None and self.downsampling:
+                neg = neg[:, ::2, ::2]  # keep FP coords in ds space
+            self._neg[pid] = neg
         return self._neg[pid]
 
     def _neg_table(self, pid: int) -> Optional[Dict]:
@@ -251,7 +257,7 @@ class InterSampler:
         for j, (ci, flag) in enumerate(picks):
             case = self.metas[ci]
             pid = int(case["PID"])
-            depth, height, width = case["size"]
+            depth, height, width = ds_size(case["size"], self.downsampling)
             crop = (target * rng.uniform(self.zoom[0], self.zoom[1],
                                          size=2)).astype(np.int32)
             crop = (int(min(crop[0], height)), int(min(crop[1], width)))

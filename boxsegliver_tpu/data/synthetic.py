@@ -85,21 +85,94 @@ def make_nf_case(rng: np.random.Generator,
     return np.clip(volume, 0, 1000).astype(np.int16), labels, spacing
 
 
+def _smooth_field(rng: np.random.Generator, shape, low: float, high: float,
+                  grid: int = 4) -> np.ndarray:
+    """Low-frequency multiplicative bias field in [low, high] (trilinear
+    upsampling of a coarse random grid)."""
+    coarse = rng.uniform(low, high, size=(grid, grid, grid)).astype(np.float32)
+    from scipy import ndimage as ndi
+    zoom = [s / g for s, g in zip(shape, coarse.shape)]
+    return ndi.zoom(coarse, zoom, order=1, mode="nearest")
+
+
+def make_nf_hard_case(rng: np.random.Generator,
+                      shape: Tuple[int, int, int] = (32, 256, 256),
+                      n_lesions: Tuple[int, int] = (3, 8)):
+    """One HARD synthetic NF case, built so that appearance alone cannot
+    solve it (the round-2 verdict's de-saturation demand):
+
+    - lesions are SMALL (in-plane radius 2-9 px, z radius 1-3) with soft
+      gaussian edges and LOW contrast over a noisy, bias-field-modulated body;
+    - every case also contains the same number of DISTRACTOR blobs drawn from
+      the identical size/intensity distribution but left unlabeled — a
+      no-guide model cannot tell lesion from distractor, so its Dice is
+      structurally capped (~2L/(2L+D) if it marks everything blob-like),
+      while spatial guides / clicks (which mark true lesions) disambiguate;
+    - per-case global gain jitter makes normalization matter.
+
+    Mirrors the difficulty axis of the reference's real-NF ladder
+    (experiments.md:103-127: UNet 0.492 -> spatial GUNet 0.802 ->
+    interactive 0.837) in a synthetic, hermetic form.
+    """
+    d, h, w = shape
+    zz, yy, xx = np.meshgrid(np.arange(d), np.arange(h), np.arange(w),
+                             indexing="ij")
+    cz, cy, cx = 0.5 * d, 0.5 * h, 0.5 * w
+    body = (((zz - cz) / (0.48 * d)) ** 2 + ((yy - cy) / (0.42 * h)) ** 2
+            + ((xx - cx) / (0.42 * w)) ** 2) <= 1.0
+
+    labels = np.zeros(shape, np.uint8)
+    volume = np.zeros(shape, np.float32)
+    volume[body] = 300.0
+    volume *= _smooth_field(rng, shape, 0.8, 1.25)
+
+    def add_blob(labeled: bool):
+        ty = cy + rng.uniform(-0.8, 0.8) * 0.4 * h
+        tx = cx + rng.uniform(-0.8, 0.8) * 0.4 * w
+        tz = cz + rng.uniform(-0.8, 0.8) * 0.45 * d
+        r_in = rng.uniform(2.0, 9.0)
+        r_z = rng.uniform(1.0, 3.0)
+        delta = rng.uniform(90.0, 160.0)
+        dist2 = (((zz - tz) / r_z) ** 2 + ((yy - ty) / r_in) ** 2
+                 + ((xx - tx) / r_in) ** 2)
+        # soft gaussian edge: contrast fades across the boundary
+        blob = np.exp(-0.5 * np.clip(dist2, 0, 16.0)).astype(np.float32)
+        volume[...] += delta * blob * body
+        if labeled:
+            labels[(dist2 <= 1.0) & body] = 1
+
+    n = int(rng.integers(n_lesions[0], n_lesions[1] + 1))
+    for _ in range(n):
+        add_blob(True)
+    for _ in range(n):          # identical twins, unlabeled
+        add_blob(False)
+
+    volume += rng.normal(0.0, 55.0, shape).astype(np.float32) * body
+    volume *= float(rng.uniform(0.75, 1.3))       # per-case gain jitter
+    spacing = (float(rng.uniform(3.0, 6.0)), 1.0, 1.0)
+    return np.clip(volume, 0, 1000).astype(np.int16), labels, spacing
+
+
 def make_synthetic_dataset(root, n_cases: int = 4,
                            shape: Tuple[int, int, int] = (32, 128, 128),
                            seed: int = 0, k_split: int = 4,
                            with_features: bool = True,
-                           modality: str = "liver") -> Path:
+                           modality: str = "liver",
+                           variant: str = "easy") -> Path:
     """Write a ready-to-train dataset: npy cache + meta.json + k_folds.txt +
     hist features + prior.json, mirroring the reference's prepare/ layout.
-    modality='nf' writes NF-like MRI (lesion label 1, gray range [0,1000])."""
+    modality='nf' writes NF-like MRI (lesion label 1, gray range [0,1000]);
+    variant='hard' uses the distractor/low-contrast generator
+    (make_nf_hard_case) that separates guided from unguided models."""
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     preset = meta_mod.MODALITIES[modality]
     metas = []
     for pid in range(n_cases):
-        if modality == "nf":
+        if variant == "hard":
+            volume, labels, spacing = make_nf_hard_case(rng, shape)
+        elif modality == "nf":
             volume, labels, spacing = make_nf_case(rng, shape)
         else:
             volume, labels, spacing = make_case(rng, shape)
@@ -119,7 +192,13 @@ def make_synthetic_dataset(root, n_cases: int = 4,
     read_or_create_k_folds(root / "k_folds.txt", [m["PID"] for m in metas],
                            k_split=k_split, seed=1357)
     if with_features:
-        if modality == "liver":  # hist context is a CT/LiTS feature
+        if modality == "liver":
             meta_mod.dump_hist_features(root)
+        else:
+            # NF context histograms: lesion label doubles as the "organ"
+            # region, gray range [0, 1000] (reference NF/extract.py hist)
+            meta_mod.dump_hist_features(root, xrng=(50.0, 950.0),
+                                        gray_min=preset["gray_min"],
+                                        organ_val=1, tumor_val=1)
         meta_mod.simulate_user_prior(metas, root / "prior.json")
     return root

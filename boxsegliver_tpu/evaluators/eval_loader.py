@@ -100,6 +100,17 @@ def parse_case_eval(case_meta: Dict, dataset_dir, im_channel: int = 3,
     crop_z1 = max(0, z1 - lhc)
     crop_z2 = min(d, z2 + rhc)
     vol = np.asarray(vol_u16[crop_z1:crop_z2, y1:y2, x1:x2], np.float32)
+    if left_pad or right_pad:
+        # channel-edge z padding happens BEFORE normalization with RAW zeros
+        # (reference parse_case_eval, input_pipeline_g.py:888-892) — under CT
+        # windowing a raw HU-0 slice normalizes to mid-gray (200/450), not 0.
+        # Our cache stores (HU - GRAY_MIN) * IM_SCALE, so the pad value is
+        # the stored image of HU 0.  Pinned by tests/test_geometry_golden.py.
+        pad_val = (0.0 - GRAY_MIN) * IM_SCALE if norm == "window" else 0.0
+        vol = np.concatenate([
+            np.full((left_pad,) + vol.shape[1:], pad_val, np.float32), vol,
+            np.full((right_pad,) + vol.shape[1:], pad_val, np.float32)],
+            axis=0)
     if norm == "window":
         # stored = (clip(HU) - GRAY_MIN) * IM_SCALE; re-window to [-200, 250]
         # HU and normalize to [0, 1] (input_pipeline_g.py:893)
@@ -116,11 +127,6 @@ def parse_case_eval(case_meta: Dict, dataset_dir, im_channel: int = 3,
                     (nz * vol[i][nz].std() + 1e-8)
     else:
         raise ValueError(f"Unknown norm mode {norm!r}")
-    if left_pad or right_pad:
-        vol = np.concatenate([
-            np.zeros((left_pad,) + vol.shape[1:], np.float32), vol,
-            np.zeros((right_pad,) + vol.shape[1:], np.float32)], axis=0)
-
     seg = None
     if parse_label:
         lab = np.load(root / f"volume-{pid}" / "segmentation.npy", mmap_mode="r")

@@ -103,5 +103,24 @@ def build_model(model_name: str, args=None, model_kwargs: Optional[Dict] = None,
     if dtype is not None:
         kwargs["dtype"] = dtype
     valid = set(cls.__dataclass_fields__)  # flax modules are dataclasses
+    if "lane_pack" in valid and "lane_pack" not in kwargs:
+        kwargs["lane_pack"] = _lane_pack_default(args)
     kwargs = {k: v for k, v in kwargs.items() if k in valid}
     return cls(**kwargs)
+
+
+def _lane_pack_default(args) -> bool:
+    """Route the width-packed full-res stage (models/packed.py): on by
+    default on TPU, --lane_pack on/off overrides (PERF.md: the 64-channel
+    256^2 stage half-fills the 128-wide lanes; packing is measured faster
+    and numerically a layout no-op, tests/test_lane_pack.py)."""
+    mode = getattr(args, "lane_pack", "auto") if args is not None else "auto"
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -16,6 +16,9 @@ from flax import linen as nn
 
 from boxsegliver_tpu.models.layers import (ConvNormAct, UpConv, get_kernel_init,
                                            image_gradients)
+from boxsegliver_tpu.models.packed import (PackedConvNormAct, PackedPointwise,
+                                           PackedUpConv, pack_w, packed_concat,
+                                           packed_max_pool, unpack_w)
 
 
 class UNet(nn.Module):
@@ -27,6 +30,11 @@ class UNet(nn.Module):
     img_grad: bool = False
     weight_init: str = "xavier"
     dtype: Optional[Any] = None
+    # lane_pack: run the full-resolution stage in the width-packed layout
+    # (models/packed.py) — exact same math, 128-wide lanes instead of 64.
+    # Parameter tree is IDENTICAL to the unpacked model, so checkpoints are
+    # interchangeable.  Routed on by default on TPU (models.build_model).
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -40,15 +48,29 @@ class UNet(nn.Module):
             x = x.astype(self.dtype)
 
         norm = None if self.without_norm else self.normalizer
+        pack = (self.lane_pack and self.num_down_samples >= 1
+                and x.shape[2] % 2 == 0)
         ch = self.init_channels
         skips = []
         for i in range(self.num_down_samples):
-            for j in range(2):
-                x = ConvNormAct(ch, normalizer=norm, weight_init=self.weight_init,
-                                dtype=self.dtype,
-                                name=f"Encode{i + 1}_conv{j + 1}")(x, train=train)
-            skips.append(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if pack and i == 0:
+                xp = pack_w(x)
+                for j in range(2):
+                    xp = PackedConvNormAct(
+                        ch, normalizer=norm, weight_init=self.weight_init,
+                        dtype=self.dtype,
+                        name=f"Encode1_conv{j + 1}")(xp, train=train)
+                skips.append(xp)  # packed skip
+                x = packed_max_pool(xp)
+            else:
+                for j in range(2):
+                    x = ConvNormAct(ch, normalizer=norm,
+                                    weight_init=self.weight_init,
+                                    dtype=self.dtype,
+                                    name=f"Encode{i + 1}_conv{j + 1}")(
+                                        x, train=train)
+                skips.append(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
             ch *= 2
 
         for j in range(2):
@@ -58,6 +80,22 @@ class UNet(nn.Module):
 
         for i in reversed(range(self.num_down_samples)):
             ch //= 2
+            if pack and i == 0:
+                up = PackedUpConv(x.shape[-1] // 2,
+                                  weight_init=self.weight_init,
+                                  dtype=self.dtype, name="Decode1_up")(x)
+                skip_c, up_c = skips[0].shape[-1] // 2, up.shape[-1] // 2
+                x = packed_concat(skips[0], up)
+                for j in range(2):
+                    x = PackedConvNormAct(
+                        ch, normalizer=norm, weight_init=self.weight_init,
+                        dtype=self.dtype,
+                        in_groups=(skip_c, up_c) if j == 0 else None,
+                        name=f"Decode1_conv{j + 1}")(x, train=train)
+                x = PackedPointwise(self.num_classes,
+                                    weight_init=self.weight_init,
+                                    dtype=self.dtype, name="AdjustChannels")(x)
+                return unpack_w(x).astype(jnp.float32)
             x = UpConv(x.shape[-1] // 2, weight_init=self.weight_init,
                        dtype=self.dtype, name=f"Decode{i + 1}_up")(x)
             x = jnp.concatenate([skips[i], x], axis=-1)

@@ -1,0 +1,185 @@
+"""Guide-value ablation ladder on the HARD synthetic NF benchmark.
+
+Round-2 verdict: the quality ledger was saturated (every config 0.98+ on easy
+synthetic data) and could not demonstrate that the guided/interactive
+machinery — the framework's signature feature — buys anything.  This runner
+re-creates the reference's capability ladder (experiments.md:103-127:
+NF UNet 0.492 -> GUNet spatial 0.802 -> interactive 0.837) on the hard
+synthetic benchmark (data/synthetic.make_nf_hard_case: low contrast, 2-9 px
+lesions, unlabeled distractor twins, gain jitter), where appearance alone
+cannot separate lesions from distractors and guides must carry the signal.
+
+Designed for the 600 s process cap of this environment: training is chunked
+and resumable (checkpoints), one rung at a time on the single TPU chip.
+
+  python tools/run_ladder.py prepare
+  python tools/run_ladder.py train <rung>        # one chunk, resumes
+  python tools/run_ladder.py eval <rung>         # writes experiments/ladder.json
+  python tools/run_ladder.py report              # table + floor assertions
+
+Rungs: unet | gunet_ctx | gunet_sp | gunet_both | inter
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+DATA_ROOT = Path("/tmp/boxseg_ladder")
+DATASET = "hard_nf"
+MODEL_ROOT = DATA_ROOT / "model_dir"
+LEDGER = REPO / "experiments" / "ladder.json"
+TOTAL_STEPS = 2500
+SEED = 20260817
+
+BASE = [
+    "--classes", "NF", "--test_fold", "0", "--k_folds", "4",
+    "--im_height", "128", "--im_width", "128", "--im_channel", "3",
+    "--zscore", "--noise_scale", "0", "--random_flip", "3",
+    "--normalizer", "instance_norm",
+    "--loss_weight_type", "numerical", "--loss_numeric_w", "1", "1",
+    "--learning_policy", "period_step", "--lr_decay_step", "2000",
+    "--lr_decay_rate", "0.3", "--learning_rate", "0.0003",
+    "--batch_size", "16", "--tumor_percent", "0.75",
+    "--num_of_total_steps", str(TOTAL_STEPS),
+    "--primary_metric", "NF/Dice", "--metrics_eval", "Dice", "VOE", "RVD",
+    "--data_root", str(DATA_ROOT), "--dataset", DATASET,
+    "--log_step", "200", "--save_ckpt_steps", "500",
+]
+
+RUNGS = {
+    # reference 101_unet family: plain appearance-only baseline
+    "unet": {"task": "nf", "flags": ["--model", "UNet"]},
+    # reference 11x context-guided (density/hist) G-Net
+    "gunet_ctx": {"task": "nf", "flags": [
+        "--model", "GUNet", "--use_context", "--context_list", "hist", "200"]},
+    # reference 112_nf_sp spatial-guided G-Net
+    "gunet_sp": {"task": "nf", "flags": [
+        "--model", "GUNet", "--use_spatial", "--min_std", "2"]},
+    # reference 115_nf_both0: both guides
+    "gunet_both": {"task": "nf", "flags": [
+        "--model", "GUNet", "--use_context", "--context_list", "hist", "200",
+        "--use_spatial", "--min_std", "2"]},
+    # reference 101_unetinter_v10 + main_eval: interactive click model
+    "inter": {"task": "nf_inter", "flags": [
+        "--model", "UNetInter", "--use_spatial", "--local_enhance",
+        "--stddev", "5.", "--guide_channel", "2"]},
+}
+
+# Floors the committed ladder must clear (see tests/test_ladder.py):
+# unguided is structurally capped by the distractor twins; guides must show
+# daylight.  Values chosen below measured results with margin.
+FLOORS = {"separation_sp_minus_unet": 0.05, "separation_inter_minus_unet": 0.05,
+          "gunet_sp": 0.55, "inter": 0.55}
+
+
+def run(cmd, **kw):
+    print("+", " ".join(map(str, cmd)), flush=True)
+    return subprocess.run([str(c) for c in cmd], **kw)
+
+
+def prepare():
+    from boxsegliver_tpu.data.synthetic import make_synthetic_dataset
+    root = DATA_ROOT / DATASET
+    if (root / "meta.json").exists():
+        print("dataset exists:", root)
+        return
+    make_synthetic_dataset(root, n_cases=8, shape=(32, 128, 128),
+                           modality="nf", variant="hard", seed=SEED,
+                           k_split=4)
+    print("dataset:", root)
+
+
+def train(rung: str) -> int:
+    """One resumable training chunk; returns the process rc (the trainer
+    itself exits cleanly when global step reaches num_of_total_steps)."""
+    spec = RUNGS[rung]
+    cmd = [sys.executable, "-m", "boxsegliver_tpu.cli.main", spec["task"],
+           "--mode", "train", "--tag", rung, "--model_dir",
+           MODEL_ROOT / rung] + BASE + spec["flags"]
+    return run(cmd, cwd=REPO).returncode
+
+
+def eval_rung(rung: str) -> dict:
+    spec = RUNGS[rung]
+    model_dir = MODEL_ROOT / rung
+    if rung == "inter":
+        cmd = [sys.executable, "-m", "boxsegliver_tpu.cli.interactive_eval",
+               "--task", "nf_inter", "--mode", "eval", "--tag", rung,
+               "--model_dir", model_dir, "--dim", "2", "--max_iters", "5",
+               "--dice_thresh", "0.85", "--eval_final",
+               "--guide_stddev", "5."] + BASE + spec["flags"]
+        run(cmd, cwd=REPO, check=True)
+        res = json.loads((model_dir / "eval_results_inter.txt").read_text())
+    else:
+        cmd = [sys.executable, "-m", "boxsegliver_tpu.cli.main", spec["task"],
+               "--mode", "eval", "--tag", rung, "--model_dir", model_dir,
+               "--eval_final"] + BASE + spec["flags"]
+        run(cmd, cwd=REPO, check=True)
+        res = json.loads((model_dir / "eval_results_3d.txt").read_text())
+    entry = {k: round(float(v), 4) for k, v in res.items()}
+    LEDGER.parent.mkdir(parents=True, exist_ok=True)
+    ledger = json.loads(LEDGER.read_text()) if LEDGER.exists() else {}
+    ledger[rung] = entry
+    ledger["_meta"] = {"dataset": "make_nf_hard_case seed %d, 8 cases, "
+                       "128^2, fold 0" % SEED, "steps": TOTAL_STEPS}
+    LEDGER.write_text(json.dumps(ledger, indent=1, sort_keys=True))
+    print(rung, "->", entry)
+    return entry
+
+
+def _dice(entry: dict) -> float:
+    for k in ("NF/Dice", "dice", "Dice"):
+        if k in entry:
+            return entry[k]
+    raise KeyError(f"no dice key in {entry}")
+
+
+def report() -> int:
+    ledger = json.loads(LEDGER.read_text())
+    print(f"{'rung':12s} Dice")
+    dice = {}
+    for rung in RUNGS:
+        if rung in ledger:
+            dice[rung] = _dice(ledger[rung])
+            print(f"{rung:12s} {dice[rung]:.4f}")
+    ok = True
+    if "unet" in dice and "gunet_sp" in dice:
+        sep = dice["gunet_sp"] - dice["unet"]
+        ok &= sep >= FLOORS["separation_sp_minus_unet"]
+        print(f"spatial - unet = {sep:+.4f} "
+              f"(floor {FLOORS['separation_sp_minus_unet']})")
+    if "unet" in dice and "inter" in dice:
+        sep = dice["inter"] - dice["unet"]
+        ok &= sep >= FLOORS["separation_inter_minus_unet"]
+        print(f"inter - unet   = {sep:+.4f} "
+              f"(floor {FLOORS['separation_inter_minus_unet']})")
+    for rung, floor in FLOORS.items():
+        if rung in dice:
+            ok &= dice[rung] >= floor
+    print("LADDER OK" if ok else "LADDER FLOORS VIOLATED")
+    return 0 if ok else 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["prepare", "train", "eval", "report"])
+    ap.add_argument("rung", nargs="?", choices=list(RUNGS))
+    opts = ap.parse_args()
+    if opts.cmd == "prepare":
+        prepare()
+    elif opts.cmd == "train":
+        sys.exit(train(opts.rung))
+    elif opts.cmd == "eval":
+        eval_rung(opts.rung)
+    else:
+        sys.exit(report())
+
+
+if __name__ == "__main__":
+    main()
