@@ -29,6 +29,12 @@ from boxsegliver_tpu.models.layers import (MLP, VGG1D, ChannelAffine,
                                            ConvNormAct, Norm, UpConv,
                                            get_kernel_init, he_normal,
                                            image_gradients)
+from boxsegliver_tpu.models.packed import (PackedChannelAffine, PackedConv,
+                                           PackedConvNormAct, PackedNorm,
+                                           PackedPointwise, PackedUpConv,
+                                           pack_w, packed_concat,
+                                           packed_max_pool, tile_channel,
+                                           unpack_w)
 
 
 class GUNet(nn.Module):
@@ -54,6 +60,9 @@ class GUNet(nn.Module):
     img_grad: bool = False
     weight_init: str = "xavier"
     dtype: Optional[Any] = None
+    # width-packed full-res stage (models/packed.py; see UNet.lane_pack) —
+    # same params/numerics, 128-wide lanes on TPU
+    lane_pack: bool = False
 
     def _n_modulator_param(self):
         n_mod = sum(1 for i in range(self.num_down_samples + 1)
@@ -121,6 +130,7 @@ class GUNet(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
+        pack = self.lane_pack and x.shape[2] % 2 == 0
         density_mod_id = 0
         skips = []
         for i in range(self.num_down_samples + 1):
@@ -128,9 +138,29 @@ class GUNet(nn.Module):
             modulated = i in self.mod_layers
             density_mod = self.use_context and modulated
             spatial_mod = self.use_spatial and modulated
+            packed_here = pack and i == 0
+            if packed_here:
+                x = pack_w(x)
             for j in range(2):
                 name = f"Encode{i + 1}_conv{j + 1}"
-                if self.without_norm:
+                if packed_here:
+                    # packed twins register params under the same names
+                    if self.without_norm:
+                        x = PackedConv(ch, use_bias=True,
+                                       weight_init=self.weight_init,
+                                       dtype=self.dtype, name=name)(x)
+                    else:
+                        nb = (True if not (density_mod or spatial_mod)
+                              else self.norm_with_center and not self.after_affine)
+                        ns = (True if not (density_mod or spatial_mod)
+                              else self.norm_with_scale and not self.after_affine)
+                        x = PackedConv(ch, use_bias=False,
+                                       weight_init=self.weight_init,
+                                       dtype=self.dtype, name=name)(x)
+                        x = PackedNorm(self.normalizer, use_bias=nb,
+                                       use_scale=ns, dtype=self.dtype,
+                                       name=name + "_norm")(x, train=train)
+                elif self.without_norm:
                     x = nn.Conv(ch, (3, 3), padding="SAME",
                                 kernel_init=get_kernel_init(self.weight_init),
                                 dtype=self.dtype, name=name)(x)
@@ -162,31 +192,61 @@ class GUNet(nn.Module):
                         feat = jnp.asarray(context_params)[
                             :, density_mod_id:density_mod_id + cfl]
                         pooled = jnp.mean(x, axis=(1, 2))
+                        if packed_here:  # phase-pair mean -> per-channel
+                            pooled = 0.5 * (pooled[:, :ch] + pooled[:, ch:])
                         se = jnp.concatenate([pooled, feat], axis=-1)
                         se = nn.relu(nn.Dense((ch + cfl) // 4, dtype=self.dtype,
                                               name=f"{name}_se1")(se))
                         gamma = nn.sigmoid(nn.Dense(ch, dtype=self.dtype,
                                                     name=f"{name}_se2")(se))
+                        if packed_here:
+                            gamma = tile_channel(gamma)
                         x = x * gamma[:, None, None, :]
                         density_mod_id += cfl
                     else:
                         gamma = context_params[:, density_mod_id:density_mod_id + ch]
+                        if packed_here:
+                            gamma = tile_channel(gamma)
                         x = x * gamma[:, None, None, :]
                         density_mod_id += ch
                 if spatial_mod:
                     sp = spatial_params[i][..., ch * j:ch * (j + 1)]
+                    if packed_here:
+                        sp = pack_w(sp)
                     x = x + sp
                 if self.after_affine:
-                    x = ChannelAffine(name=f"{name}_affine")(x)
+                    if packed_here:
+                        x = PackedChannelAffine(name=f"{name}_affine")(x)
+                    else:
+                        x = ChannelAffine(name=f"{name}_affine")(x)
                 x = nn.relu(x)
             skips.append(x)
             if i < self.num_down_samples:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+                if packed_here:
+                    x = packed_max_pool(x)
+                else:
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
 
         # ---- decoder ------------------------------------------------------
         norm = None if self.without_norm else self.normalizer
         for i in reversed(range(self.num_down_samples)):
             ch = self.init_channels * 2 ** i
+            if pack and i == 0:
+                up = PackedUpConv(x.shape[-1] // 2,
+                                  weight_init=self.weight_init,
+                                  dtype=self.dtype, name="up1")(x)
+                skip_c, up_c = skips[0].shape[-1] // 2, up.shape[-1] // 2
+                x = packed_concat(skips[0], up)
+                for j in range(2):
+                    x = PackedConvNormAct(
+                        ch, normalizer=norm, weight_init=self.weight_init,
+                        dtype=self.dtype,
+                        in_groups=(skip_c, up_c) if j == 0 else None,
+                        name=f"up_conv1_{j + 1}")(x, train=train)
+                x = PackedPointwise(self.num_classes,
+                                    weight_init=self.weight_init,
+                                    dtype=self.dtype, name="AdjustChannels")(x)
+                return unpack_w(x).astype(jnp.float32)
             x = UpConv(x.shape[-1] // 2, weight_init=self.weight_init,
                        dtype=self.dtype, name=f"up{i + 1}")(x)
             x = jnp.concatenate([skips[i], x], axis=-1)

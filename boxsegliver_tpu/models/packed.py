@@ -298,6 +298,25 @@ class PackedUpConv(nn.Module):
         return y
 
 
+def tile_channel(v: jnp.ndarray) -> jnp.ndarray:
+    """Per-original-channel vector [..., C] -> packed broadcast [..., 2C]
+    (both phases share the channel parameter)."""
+    return jnp.concatenate([v, v], axis=-1)
+
+
+class PackedChannelAffine(nn.Module):
+    """layers.ChannelAffine twin for packed tensors (params gamma/beta in
+    original [C] shapes)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // 2
+        gamma = self.param("gamma", nn.initializers.ones, (c,))
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        return x * tile_channel(gamma).astype(x.dtype) \
+            + tile_channel(beta).astype(x.dtype)
+
+
 class PackedPointwise(nn.Module):
     """1x1 conv in packed space (phase-block-diagonal kernel); params match
     nn.Conv ([1,1,Cin,Cout] "kernel" + [Cout] "bias")."""

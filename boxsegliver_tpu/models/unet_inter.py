@@ -14,6 +14,9 @@ from flax import linen as nn
 
 from boxsegliver_tpu.models.layers import (ConvNormAct, UpConv,
                                            get_kernel_init, image_gradients)
+from boxsegliver_tpu.models.packed import (PackedConvNormAct, PackedPointwise,
+                                           PackedUpConv, pack_w, packed_concat,
+                                           packed_max_pool, unpack_w)
 
 
 class UNetInter(nn.Module):
@@ -26,6 +29,10 @@ class UNetInter(nn.Module):
     img_grad: bool = False
     weight_init: str = "xavier"
     dtype: Optional[Any] = None
+    # width-packed full-res stage (models/packed.py; see UNet.lane_pack).
+    # Not applied with --mid_cat (the post-stage guide concat would need a
+    # group-aware pool for marginal benefit).
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -41,10 +48,21 @@ class UNetInter(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
+        pack = self.lane_pack and not self.mid_cat and x.shape[2] % 2 == 0
         norm = None if self.without_norm else self.normalizer
         skips = []
         for i in range(self.num_down_samples + 1):
             ch = self.init_channels * 2 ** i
+            if pack and i == 0:
+                x = pack_w(x)
+                for j in range(2):
+                    x = PackedConvNormAct(
+                        ch, normalizer=norm, weight_init=self.weight_init,
+                        dtype=self.dtype,
+                        name=f"Encode1_conv{j + 1}")(x, train=train)
+                skips.append(x)
+                x = packed_max_pool(x)
+                continue
             for j in range(2):
                 x = ConvNormAct(ch, normalizer=norm, weight_init=self.weight_init,
                                 dtype=self.dtype,
@@ -58,6 +76,22 @@ class UNetInter(nn.Module):
 
         for i in reversed(range(self.num_down_samples)):
             ch = self.init_channels * 2 ** i
+            if pack and i == 0:
+                up = PackedUpConv(x.shape[-1] // 2,
+                                  weight_init=self.weight_init,
+                                  dtype=self.dtype, name="up1")(x)
+                skip_c, up_c = skips[0].shape[-1] // 2, up.shape[-1] // 2
+                x = packed_concat(skips[0], up)
+                for j in range(2):
+                    x = PackedConvNormAct(
+                        ch, normalizer=norm, weight_init=self.weight_init,
+                        dtype=self.dtype,
+                        in_groups=(skip_c, up_c) if j == 0 else None,
+                        name=f"up_conv1_{j + 1}")(x, train=train)
+                x = PackedPointwise(self.num_classes,
+                                    weight_init=self.weight_init,
+                                    dtype=self.dtype, name="AdjustChannels")(x)
+                return unpack_w(x).astype(jnp.float32)
             x = UpConv(x.shape[-1] // 2, weight_init=self.weight_init,
                        dtype=self.dtype, name=f"up{i + 1}")(x)
             x = jnp.concatenate([skips[i], x], axis=-1)

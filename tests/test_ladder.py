@@ -1,0 +1,47 @@
+"""Guide-value ladder regression floors (tools/run_ladder.py).
+
+experiments/ladder.json is produced by real TPU runs of the capability ladder
+on the HARD synthetic NF benchmark (unlabeled distractor twins — appearance
+alone cannot solve it).  These tests pin the committed ledger: a re-run that
+loses the guided-vs-unguided separation (the reference's signature result,
+experiments.md:103-127) or drops a flagship below its floor fails here."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+LEDGER = Path(__file__).parent.parent / "experiments" / "ladder.json"
+
+
+@pytest.fixture(scope="module")
+def ladder():
+    if not LEDGER.exists():
+        pytest.skip("ladder not yet run (tools/run_ladder.py)")
+    return json.loads(LEDGER.read_text())
+
+
+def _dice(entry):
+    for k in ("NF/Dice", "dice", "Dice"):
+        if k in entry:
+            return float(entry[k])
+    raise KeyError(entry)
+
+
+def test_spatial_guide_beats_unguided(ladder):
+    assert _dice(ladder["gunet_sp"]) - _dice(ladder["unet"]) >= 0.05
+
+
+def test_interactive_beats_unguided(ladder):
+    assert _dice(ladder["inter"]) - _dice(ladder["unet"]) >= 0.05
+
+
+def test_flagship_floors(ladder):
+    assert _dice(ladder["gunet_sp"]) >= 0.55
+    assert _dice(ladder["inter"]) >= 0.55
+
+
+def test_unguided_is_capped_by_distractors(ladder):
+    """The hard benchmark is doing its job only if the unguided model CANNOT
+    saturate (distractor twins bound its Dice well below the guided runs)."""
+    assert _dice(ladder["unet"]) <= 0.90

@@ -101,6 +101,80 @@ def test_without_norm_and_img_grad_parity(x):
                                rtol=1e-4, atol=1e-4)
 
 
+def _gunet_pair(**kw):
+    from boxsegliver_tpu.models.gunet import GUNet
+    base = dict(num_classes=2, init_channels=8, num_down_samples=2,
+                normalizer="instance_norm", context_fc_channels=(16,), **kw)
+    return GUNet(**base), GUNet(lane_pack=True, **base)
+
+
+def _gunet_feats(x, model):
+    feats = {"images": x}
+    if model.use_context:
+        feats["context"] = jnp.asarray(
+            np.random.RandomState(2).rand(x.shape[0], 32), jnp.float32)
+    if model.use_spatial:
+        feats["sp_guide"] = jnp.asarray(
+            np.random.RandomState(3).rand(*x.shape[:3], 1), jnp.float32)
+    return feats
+
+
+@pytest.mark.parametrize("kw", [
+    # flagship shape: stage 0 unmodulated (packed fast path)
+    dict(use_context=True, use_spatial=True, mod_layers=(1, 2)),
+    # stage 0 modulated: packed gamma-tiling + packed spatial add
+    dict(use_context=True, use_spatial=True, mod_layers=(0, 1)),
+    # affine + SE variants over packed stage 0
+    dict(use_context=True, mod_layers=(0, 1), use_se=True,
+         after_affine=True),
+])
+def test_gunet_forward_parity(x, kw):
+    ref, packed = _gunet_pair(**kw)
+    feats = _gunet_feats(x, ref)
+    v = ref.init(jax.random.PRNGKey(0), feats, train=False)
+    yr = ref.apply(v, feats, train=False)
+    yp = packed.apply(v, feats, train=False)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yp),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gunet_grad_parity(x):
+    ref, packed = _gunet_pair(use_context=True, use_spatial=True,
+                              mod_layers=(1, 2))
+    feats = _gunet_feats(x, ref)
+    v = ref.init(jax.random.PRNGKey(0), feats, train=False)
+    lab = jnp.zeros((2, 32, 32), jnp.int32)
+
+    def loss(model, params):
+        logits = model.apply({"params": params}, feats, train=False)
+        oh = jax.nn.one_hot(lab, 2)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * oh, -1))
+
+    gr = jax.grad(lambda p: loss(ref, p))(v["params"])
+    gp = jax.grad(lambda p: loss(packed, p))(v["params"])
+    for (pr, ar), (pp, ap) in zip(
+            jax.tree_util.tree_flatten_with_path(gr)[0],
+            jax.tree_util.tree_flatten_with_path(gp)[0]):
+        np.testing.assert_allclose(np.asarray(ar), np.asarray(ap),
+                                   rtol=5e-3, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(pr))
+
+
+def test_unet_inter_forward_parity(x):
+    from boxsegliver_tpu.models.unet_inter import UNetInter
+    base = dict(num_classes=2, init_channels=8, num_down_samples=2,
+                normalizer="instance_norm")
+    ref, packed = UNetInter(**base), UNetInter(lane_pack=True, **base)
+    feats = {"images": x,
+             "sp_guide": jnp.asarray(
+                 np.random.RandomState(4).rand(*x.shape[:3], 2), jnp.float32)}
+    v = ref.init(jax.random.PRNGKey(0), feats, train=False)
+    yr = ref.apply(v, feats, train=False)
+    yp = packed.apply(v, feats, train=False)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yp),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_odd_width_falls_back(x):
     """lane_pack with an odd width silently uses the standard path."""
     model = UNet(num_classes=2, init_channels=8, num_down_samples=1,

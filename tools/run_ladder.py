@@ -34,7 +34,9 @@ DATA_ROOT = Path("/tmp/boxseg_ladder")
 DATASET = "hard_nf"
 MODEL_ROOT = DATA_ROOT / "model_dir"
 LEDGER = REPO / "experiments" / "ladder.json"
-TOTAL_STEPS = 2500
+# 2000 steps fits one 590 s process window (the TPU tunnel recompiles the
+# train step on every resume, ~4-5 min — avoid resumes entirely)
+TOTAL_STEPS = 2000
 SEED = 20260817
 
 BASE = [
