@@ -84,16 +84,19 @@ def main(argv=None):
         vol = np.load(Path(dataset_dir) / f"volume-{pid}" / "volume.npy")
         lab = np.load(Path(dataset_dir) / f"volume-{pid}" / "segmentation.npy")
         lab = (lab > 0).astype(np.uint8)
-        vol = zscore(vol.astype(np.float32))
         if args.dim == 2:
-            # 2.5D slice stacks with edge padding
+            # 2.5D slice stacks with edge padding; z-score PER STACK to match
+            # the interactive training normalization (pipeline_inter
+            # nonzero_zscore per sample, reference g_simply data_processing)
+            vol = vol.astype(np.float32)
             d = vol.shape[0]
             lh = (args.im_channel - 1) // 2
             rh = args.im_channel - 1 - lh
             padded = np.concatenate([np.repeat(vol[:1], lh, 0), vol,
                                      np.repeat(vol[-1:], rh, 0)], axis=0)
-            images = np.stack([np.transpose(padded[z:z + args.im_channel],
-                                            (1, 2, 0)) for z in range(d)])
+            images = np.stack([zscore(np.transpose(
+                padded[z:z + args.im_channel], (1, 2, 0)))
+                for z in range(d)])
             res = interactive_eval_2d(
                 trainer.predict, images.astype(np.float32), lab,
                 dice_thresh=args.dice_thresh, max_iters=args.max_iters,
@@ -101,6 +104,7 @@ def main(argv=None):
                 guide_channel=int(args.guide_channel))
         else:
             from boxsegliver_tpu.evaluators.volume3d import pad_to_multiple
+            vol = zscore(vol.astype(np.float32))  # whole-volume (3D conv.)
             pvol, pads = pad_to_multiple(vol[..., None], (2, 16, 16))
             plab = np.pad(lab, [(0, p) for p in pads]) if any(pads) else lab
             res = interactive_eval_3d(

@@ -28,20 +28,31 @@ def _dice(entry):
     raise KeyError(entry)
 
 
+def _need(ladder, *rungs):
+    missing = [r for r in rungs if r not in ladder]
+    if missing:
+        pytest.skip(f"ladder rungs not yet recorded: {missing}")
+    return [ladder[r] for r in rungs]
+
+
 def test_spatial_guide_beats_unguided(ladder):
-    assert _dice(ladder["gunet_sp"]) - _dice(ladder["unet"]) >= 0.05
+    sp, un = _need(ladder, "gunet_sp", "unet")
+    assert _dice(sp) - _dice(un) >= 0.05
 
 
 def test_interactive_beats_unguided(ladder):
-    assert _dice(ladder["inter"]) - _dice(ladder["unet"]) >= 0.05
+    it, un = _need(ladder, "inter", "unet")
+    assert _dice(it) - _dice(un) >= 0.05
 
 
 def test_flagship_floors(ladder):
-    assert _dice(ladder["gunet_sp"]) >= 0.55
-    assert _dice(ladder["inter"]) >= 0.55
+    sp, it = _need(ladder, "gunet_sp", "inter")
+    assert _dice(sp) >= 0.55
+    assert _dice(it) >= 0.55
 
 
 def test_unguided_is_capped_by_distractors(ladder):
     """The hard benchmark is doing its job only if the unguided model CANNOT
     saturate (distractor twins bound its Dice well below the guided runs)."""
-    assert _dice(ladder["unet"]) <= 0.90
+    (un,) = _need(ladder, "unet")
+    assert _dice(un) <= 0.90
