@@ -60,7 +60,11 @@ def export_model(args, dataset_dir=None, out_dir=None):
     out = Path(out_dir or Path(args.model_dir) / "export")
     out.mkdir(parents=True, exist_ok=True)
 
-    exported = jax_export.export(jax.jit(serve))(
+    # multi-platform lowering: a bundle exported on the TPU must still serve
+    # on CPU (README "Serving the export"); jax.export otherwise pins the
+    # module to the platform it was traced on
+    exported = jax_export.export(jax.jit(serve),
+                                 platforms=("cpu", "tpu"))(
         export_params, export_bs, feats)
     (out / "model.stablehlo").write_bytes(exported.serialize())
 
