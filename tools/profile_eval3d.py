@@ -1,0 +1,76 @@
+"""Profile UNet3D whole-volume inference on-chip (the PERF.md 3D eval
+throughput path: 64x256x256, reference threed_script/201_unet_v1.sh config).
+
+Decides whether the 16.1 volumes/min figure is memory-bound at the
+C=30/60 stages (lane underfill, like the 2D case PERF.md documents) or
+compute-bound — i.e., whether a fold-4 width packing of UNet3D's shallow
+stages would pay.
+
+Usage: python tools/profile_eval3d.py [--outdir /tmp/boxseg_profile_3d]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", default="/tmp/boxseg_profile_3d")
+    ap.add_argument("--reps", type=int, default=4)
+    opts = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax.core import FrozenDict
+
+    from boxsegliver_tpu.models import build_model, load_model_config
+    from boxsegliver_tpu.evaluators.volume3d import make_volume_predict
+    from boxsegliver_tpu.train.trainer import TrainState
+
+    model = build_model("UNet3D", model_kwargs=load_model_config("UNet3D"),
+                        num_classes=2, dtype=jnp.bfloat16)
+    vol = {"images": np.random.RandomState(0)
+           .rand(1, 64, 256, 256, 1).astype(np.float32)}
+    variables = model.init(jax.random.PRNGKey(0), vol, train=False)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=(), lr_scale=jnp.ones((), jnp.float32))
+    predict = make_volume_predict(model, state)
+
+    print("compiling...", flush=True)
+    t0 = time.perf_counter()
+    out = predict(vol)
+    _ = np.asarray(out)[0, 0, 0, 0]  # real fetch (tunnel sync quirk)
+    print(f"first call {time.perf_counter() - t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(opts.reps):
+        out = predict(vol)
+        _ = np.asarray(out)  # includes the product path's prob fetch
+    dt = (time.perf_counter() - t0) / opts.reps
+    print(f"{dt:.3f} s/volume incl fetch ({60 / dt:.1f} volumes/min)",
+          flush=True)
+
+    with jax.profiler.trace(opts.outdir):
+        for _ in range(opts.reps):
+            out = predict(vol)
+            _ = np.asarray(out)
+    for p in sorted(Path(opts.outdir).rglob("*.xplane.pb")):
+        print(p, p.stat().st_size)
+
+
+if __name__ == "__main__":
+    main()
