@@ -410,14 +410,27 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
         from boxsegliver_tpu.parallel import make_mesh
         ev3 = EvaluateVolume3D(args, dataset_dir,
                                ["Background"] + list(args.classes))
+        cascade = build_eval_cascade(args)
         z_shards = getattr(args, "z_shards", 0)
-        if z_shards and z_shards > 1 and args.im_depth <= 0:
+        gc = (int(args.guide_channel)
+              if getattr(args, "use_spatial", False) else 0)
+        whole = args.im_depth <= 0
+        # fast path (PERF.md round 3): device argmax + in-graph z-score +
+        # on-device blank guides — the tunnel fetch/upload dominated the 3D
+        # number otherwise.  Sliding-window and cascade need host probs.
+        fast = whole and cascade is None \
+            and not getattr(args, "use_cascade", False)
+        kw = dict(ret="pred" if fast else "prob",
+                  in_zscore=fast, blank_guide_channels=gc)
+        if z_shards and z_shards > 1 and whole:
             predict = make_volume_predict(trainer.model, trainer.state,
-                                          make_mesh(z_shards), z_shards)
+                                          make_mesh(z_shards), z_shards, **kw)
+        elif fast:
+            predict = make_volume_predict(trainer.model, trainer.state, **kw)
         else:
             predict = lambda f: trainer.predict(_with_blank_guide(args, f))
         results = ev3.run(predict, eval_metas, do_eval=do_eval,
-                          cascade=build_eval_cascade(args))
+                          cascade=cascade)
         trainer.ckpt.close()
         return results
 

@@ -37,17 +37,42 @@ def pad_to_multiple(vol: np.ndarray, mult: Tuple[int, int, int]):
     return vol, pads
 
 
-def make_volume_predict(model, state, mesh=None, z_axis_shards: int = 0):
-    """Jitted whole-volume forward [1, d, h, w, c] → probs.
+def make_volume_predict(model, state, mesh=None, z_axis_shards: int = 0,
+                        ret: str = "prob", in_zscore: bool = False,
+                        blank_guide_channels: int = 0):
+    """Jitted whole-volume forward [1, d, h, w, c] → probs or pred.
 
     With z_axis_shards > 1, the depth axis is sharded over the mesh's data
     axis — XLA partitions the 3D convs spatially with halo exchanges.
+
+    TPU-tunnel-aware fast path (PERF.md round 3: the device runs this model
+    in ~85 ms/volume; fetching 67 MB of f32 probs through the tunnel
+    dominated the 3D eval number):
+    - ret='pred': device-side argmax, uint8 fetch (16x smaller; identical to
+      host argmax of the probs).
+    - in_zscore=True: the whole-volume nonzero z-score runs INSIDE the jit —
+      callers upload the raw (uint16) volume once instead of a
+      host→device→host→device float round trip.  Exposed to predict_case via
+      the fn's `.in_zscore` attribute.
+    - blank_guide_channels=N: models trained with --use_spatial get their
+      click-free zero guide synthesized on device instead of uploading it.
     """
     import jax
+    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def fwd(variables, images):
-        logits = model.apply(variables, {"images": images}, train=False)
+    def fwd(variables, feats):
+        feats = dict(feats)
+        x = feats["images"].astype(jnp.float32)
+        if in_zscore:
+            x = _zscore_jnp(x)
+        feats["images"] = x
+        if blank_guide_channels and "sp_guide" not in feats:
+            feats["sp_guide"] = jnp.zeros(
+                x.shape[:-1] + (blank_guide_channels,), jnp.float32)
+        logits = model.apply(variables, feats, train=False)
+        if ret == "pred":
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
         return jax.nn.softmax(logits, axis=-1)
 
     variables = {"params": state.params}
@@ -57,17 +82,22 @@ def make_volume_predict(model, state, mesh=None, z_axis_shards: int = 0):
     if mesh is not None and z_axis_shards and z_axis_shards > 1:
         rep = NamedSharding(mesh, P())
         zshard = NamedSharding(mesh, P(None, "data"))
-        fwd_jit = jax.jit(fwd, in_shardings=(rep, zshard), out_shardings=zshard)
+        fwd_jit = jax.jit(fwd, in_shardings=(rep, zshard),
+                          out_shardings=zshard)
 
         def predict(feats):
-            images = jax.device_put(np.asarray(feats["images"]), zshard)
-            return fwd_jit(jax.device_put(variables, rep), images)
+            feats = {k: jax.device_put(np.asarray(v), zshard)
+                     for k, v in feats.items()}
+            return fwd_jit(jax.device_put(variables, rep), feats)
     else:
         fwd_jit = jax.jit(fwd)
 
         def predict(feats):
-            return fwd_jit(variables, np.asarray(feats["images"]))
+            return fwd_jit(variables,
+                           {k: np.asarray(v) for k, v in feats.items()})
 
+    predict.ret = ret
+    predict.in_zscore = in_zscore
     return predict
 
 
@@ -107,13 +137,24 @@ class EvaluateVolume3D(EvaluateBase):
 
     def predict_case(self, predict_fn: Callable, volume: np.ndarray,
                      cascade=None) -> np.ndarray:
-        """z-score + pad + (whole or sliding-window) forward → probs.
+        """z-score + pad + (whole or sliding-window) forward → probs
+        [d, h, w, nc] f32, or pred [d, h, w] uint8 when predict_fn was built
+        with ret='pred' (make_volume_predict fast path).
 
         cascade: optional interactive.cascade.Cascade2D — its frozen-2D
         prediction channel is appended to the network input (reference
         main_eval_3d.py:348-369 / input_pipeline_3d.py:474-539)."""
         args = self.args
-        vol = np.asarray(_zscore_jnp(volume.astype(np.float32)))[..., None]
+        fn_zscores = bool(getattr(predict_fn, "in_zscore", False))
+        needs_extra = cascade is not None or getattr(args, "use_cascade",
+                                                     False)
+        assert not (fn_zscores and needs_extra), \
+            "cascade channels need the host-normalized volume; build the " \
+            "predict fn with in_zscore=False"
+        if fn_zscores and not needs_extra:
+            vol = volume[..., None]  # raw (uint16) upload; z-score in-graph
+        else:
+            vol = np.asarray(_zscore_jnp(volume.astype(np.float32)))[..., None]
         if cascade is not None:
             extra = cascade.extra_channel(vol[..., 0])
             vol = np.concatenate([vol, extra[..., None]], axis=-1)
@@ -124,17 +165,19 @@ class EvaluateVolume3D(EvaluateBase):
             vol = np.concatenate([vol, np.zeros_like(vol)], axis=-1)
         padded, pads = pad_to_multiple(vol, self.align)
         if args.im_depth > 0 and padded.shape[0] > args.im_depth:
-            probs = sliding_window_3d(
+            assert getattr(predict_fn, "ret", "prob") == "prob", \
+                "sliding-window eval needs a prob-mode predict fn"
+            out = sliding_window_3d(
                 predict_fn, padded,
                 (args.im_depth, args.im_height, args.im_width),
                 num_classes=len(self.classes) + 1)
         else:
-            probs = np.asarray(predict_fn({"images": padded[None]}))[0]
+            out = np.asarray(predict_fn({"images": padded[None]}))[0]
         if any(pads):
-            probs = probs[:probs.shape[0] - pads[0],
-                          :probs.shape[1] - pads[1],
-                          :probs.shape[2] - pads[2]]
-        return probs
+            out = out[:out.shape[0] - pads[0],
+                      :out.shape[1] - pads[1],
+                      :out.shape[2] - pads[2]]
+        return out
 
     def run(self, predict_fn: Callable, case_metas: Iterable[Dict],
             do_eval: bool = True, cascade=None) -> Dict[str, float]:
@@ -150,8 +193,9 @@ class EvaluateVolume3D(EvaluateBase):
             pid = int(meta["PID"])
             vol = np.load(self.dataset_dir / f"volume-{pid}" / "volume.npy")
             lab = np.load(self.dataset_dir / f"volume-{pid}" / "segmentation.npy")
-            probs = self.predict_case(predict_fn, vol, cascade=cascade)
-            pred = probs.argmax(-1).astype(np.uint8)
+            out = self.predict_case(predict_fn, vol, cascade=cascade)
+            pred = (out if out.dtype == np.uint8
+                    else out.argmax(-1).astype(np.uint8))
             results = {}
             if do_eval:
                 for i, cls in enumerate(self.classes):

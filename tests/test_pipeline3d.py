@@ -153,3 +153,60 @@ def test_evaluate_volume3d_oracle(dataset):
     results = ev.run(oracle, [meta])
     assert results["Liver/Dice"] > 0.999
     assert results["GTumorDice"] > 0.999
+
+
+def test_fast_pred_path_matches_prob_path(dataset):
+    """make_volume_predict(ret='pred', in_zscore=True) — the tunnel-fetch
+    fast path — must reproduce argmax of the prob-mode host-zscore path
+    bit for bit (PERF.md round 3)."""
+    from boxsegliver_tpu.train.trainer import TrainState
+    from flax.core import FrozenDict
+
+    model = build_model("UNet3D", model_kwargs={
+        "init_channels": 4, "normalizer": "instance_norm", "num_pool": 4},
+        num_classes=3)
+    feats = {"images": jnp.zeros((1, 8, 32, 32, 1), jnp.float32)}
+    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=(), lr_scale=jnp.ones((), jnp.float32))
+    args = _args(im_depth=-1)
+    ev = EvaluateVolume3D(args, dataset, ["Background", "Liver", "Tumor"],
+                          align=(2, 16, 16))
+    vol = (np.random.RandomState(3).rand(10, 40, 40) * 900).astype(np.uint16)
+
+    slow = make_volume_predict(model, state)                       # probs
+    fast = make_volume_predict(model, state, ret="pred",
+                               in_zscore=True)
+    probs = ev.predict_case(slow, vol)
+    pred = ev.predict_case(fast, vol)
+    assert pred.dtype == np.uint8 and pred.shape == vol.shape
+    np.testing.assert_array_equal(pred, probs.argmax(-1).astype(np.uint8))
+
+
+def test_fast_pred_blank_guide(dataset):
+    """blank_guide_channels synthesizes the click-free guide on device —
+    equal to uploading host zeros."""
+    from boxsegliver_tpu.train.trainer import TrainState
+    from flax.core import FrozenDict
+
+    model = build_model("UNet3D", model_kwargs={
+        "init_channels": 4, "normalizer": "instance_norm", "num_pool": 4,
+        "use_spatial": True}, num_classes=2)
+    feats = {"images": jnp.zeros((1, 8, 32, 32, 1), jnp.float32),
+             "sp_guide": jnp.zeros((1, 8, 32, 32, 2), jnp.float32)}
+    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=(), lr_scale=jnp.ones((), jnp.float32))
+    vol = np.random.RandomState(4).normal(
+        size=(1, 8, 32, 32, 1)).astype(np.float32)
+    with_host = make_volume_predict(model, state)
+    with_dev = make_volume_predict(model, state, blank_guide_channels=2)
+    ref = np.asarray(with_host({"images": vol,
+                                "sp_guide": np.zeros((1, 8, 32, 32, 2),
+                                                     np.float32)}))
+    out = np.asarray(with_dev({"images": vol}))
+    np.testing.assert_allclose(out, ref, atol=1e-6)

@@ -29,6 +29,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", default="/tmp/boxseg_profile_3d")
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--fast", action="store_true",
+                    help="pred-mode + in-graph z-score + uint16 upload "
+                         "(the make_volume_predict fast path)")
     opts = ap.parse_args()
 
     import jax
@@ -41,14 +44,21 @@ def main():
 
     model = build_model("UNet3D", model_kwargs=load_model_config("UNet3D"),
                         num_classes=2, dtype=jnp.bfloat16)
-    vol = {"images": np.random.RandomState(0)
-           .rand(1, 64, 256, 256, 1).astype(np.float32)}
-    variables = model.init(jax.random.PRNGKey(0), vol, train=False)
+    rs = np.random.RandomState(0)
+    if opts.fast:
+        vol = {"images": (rs.rand(1, 64, 256, 256, 1) * 900)
+               .astype(np.uint16)}
+    else:
+        vol = {"images": rs.rand(1, 64, 256, 256, 1).astype(np.float32)}
+    init_feats = {"images": np.zeros((1, 64, 256, 256, 1), np.float32)}
+    variables = model.init(jax.random.PRNGKey(0), init_feats, train=False)
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=variables["params"],
                        batch_stats=variables.get("batch_stats", FrozenDict()),
                        opt_state=(), lr_scale=jnp.ones((), jnp.float32))
-    predict = make_volume_predict(model, state)
+    predict = make_volume_predict(
+        model, state, ret="pred" if opts.fast else "prob",
+        in_zscore=opts.fast)
 
     print("compiling...", flush=True)
     t0 = time.perf_counter()
