@@ -436,11 +436,16 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
 
     evaluator = EvaluateVolume(args, dataset_dir,
                                ["Background"] + list(args.classes))
+    # device-resident whole-case predictor (evaluators/device_eval.py):
+    # run/run_sp use its one-upload-per-case fast path; run_g (stateful
+    # per-slice guide propagation) uses its plain per-batch forward
+    from boxsegliver_tpu.evaluators.device_eval import DeviceSlicePredictor
+    predictor = DeviceSlicePredictor(trainer.model, trainer.state, args)
     # spatial-guided models: Liver uses the interactive guide-propagation
     # evaluator (reference entry/main_g.py:224-227 run_g); NF uses the fixed
     # sp-point guides (reference NF get_dataset_for_sp_point)
     if getattr(args, "use_spatial", False) and args.task == "nf":
-        results = evaluator.run_sp(trainer.predict, eval_metas,
+        results = evaluator.run_sp(predictor, eval_metas,
                                    save=args.save_predict or not do_eval,
                                    do_eval=do_eval)
     elif getattr(args, "use_spatial", False) and not getattr(args, "eval_no_sp",
@@ -449,7 +454,7 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
                                   save=args.save_predict or not do_eval,
                                   do_eval=do_eval)
     else:
-        results = evaluator.run(trainer.predict, eval_metas,
+        results = evaluator.run(predictor, eval_metas,
                                 save=args.save_predict or not do_eval,
                                 do_eval=do_eval)
     trainer.ckpt.close()

@@ -84,6 +84,12 @@ class EvaluateVolume(EvaluateBase):
         if self.context_list is not None:
             context = load_eval_context(self.dataset_dir, case.pid,
                                         self.context_list, args.hist_scale)
+        if hasattr(predict_fn, "device_case"):
+            # device-resident fast path (evaluators/device_eval.py): the case
+            # uploads once, 2.5D stacking + mirror TTA + averaging run
+            # in-graph — same math as the host loop below
+            return predict_fn.device_case(case, context=context,
+                                          sp_guide=sp_guide)
         chunks: List[np.ndarray] = []
         pads = 0
         for batch in slice_batches(case, args.batch_size, pshape,

@@ -258,3 +258,45 @@ def test_bg_strategy_distribution(nf_root, tmp_path, monkeypatch):
     assert n1 + n3 == len(recorded) and len(recorded) == 12 * BS
     # fair coin: both arms well represented (96 draws, p<1e-9 to fail)
     assert min(n1, n3) > len(recorded) * 0.25
+
+
+def test_neg_cache_v2_union_and_fp_version(nf_root, tmp_path):
+    """Multiple --pred_dir values build the UNION cache under neg_v2/
+    (reference load_neg_v2, --fp_version 2)."""
+    d1, d2 = tmp_path / "p1", tmp_path / "p2"
+    d1.mkdir(), d2.mkdir()
+    metas = json.loads((nf_root / "meta.json").read_text())
+    for m in metas:
+        pid = m["PID"]
+        lab = np.load(nf_root / f"volume-{pid}" / "segmentation.npy")
+        base = (lab > 0).astype(np.uint8)
+        a, b = base.copy(), base.copy()
+        a[:, 2:12, 2:12] = 1      # FP blob only in checkpoint 1
+        b[:, 60:70, 60:70] = 1    # FP blob only in checkpoint 2
+        np.savez_compressed(d1 / f"predict-{pid}.npz", a)
+        np.savez_compressed(d2 / f"predict-{pid}.npz", b)
+    written = build_neg_cache([d1, d2], nf_root)
+    assert all("neg_v2" in str(p) for p in written)
+    neg = np.load(written[0])
+    assert neg[:, 2:12, 2:12].any() and neg[:, 60:70, 60:70].any()
+
+    args = _args(nf_root, tmp_path / "m", "--fp_sample", "--fp_version", "2")
+    s = InterSampler(nf_root, args, mode="train")
+    pid = int(metas[0]["PID"])
+    assert s._neg_volume(pid) is not None  # reads neg_v2/
+
+
+def test_downsampling_flag_halves_resolution(nf_root, tmp_path):
+    """-ds/--downsampling: sampler sees [:, ::2, ::2] volumes (reference
+    load_data_ds)."""
+    args = _args(nf_root, tmp_path / "m", "-ds")
+    s = InterSampler(nf_root, args, mode="train")
+    metas = json.loads((nf_root / "meta.json").read_text())
+    pid = int(metas[0]["PID"])
+    full = np.load(nf_root / f"volume-{pid}" / "volume.npy")
+    ds = s.vols.volume(pid)
+    assert ds.shape == (full.shape[0], (full.shape[1] + 1) // 2,
+                        (full.shape[2] + 1) // 2)
+    np.testing.assert_array_equal(np.asarray(ds), full[:, ::2, ::2])
+    b = s.sample_batch(BS, rng=np.random.RandomState(0))
+    assert b["image"].shape == (BS, 64, 64, 3)  # target unchanged
