@@ -120,11 +120,18 @@ def parse_case_eval(case_meta: Dict, dataset_dir, im_channel: int = 3,
     elif norm == "nf_clip":
         vol = np.clip(vol, 0.0, 900.0 * IM_SCALE) / (900.0 * IM_SCALE)
     elif norm == "nf_zscore":
+        # reference-exact NF EVAL z-score (NF/input_pipeline_g.py:699-705):
+        # per-slice nonzero statistics applied UNMASKED — background zeros
+        # become -mean/std.  This differs from the reference's own TRAIN
+        # z-score (utils/image_ops.py:25-33, masked, zeros stay 0); the
+        # published NF numbers were produced with this train/eval
+        # inconsistency, so output parity requires reproducing it.  Pinned
+        # by the NF geometry golden (tools/gen_geometry_golden.py).
         for i in range(vol.shape[0]):
             nz = vol[i] > 0
             if nz.any():
-                vol[i] = (vol[i] - nz * vol[i][nz].mean()) / \
-                    (nz * vol[i][nz].std() + 1e-8)
+                vol[i] = (vol[i] - vol[i][nz].mean()) / \
+                    (vol[i][nz].std() + 1e-8)
     else:
         raise ValueError(f"Unknown norm mode {norm!r}")
     seg = None

@@ -88,3 +88,40 @@ def test_slice_batches_reassembly_golden(g):
 
 def ref_zyx_at(vol, z):
     return vol[z]
+
+
+@pytest.mark.parametrize("norm", ["nf_clip", "nf_zscore"])
+def test_nf_parse_case_eval_golden(g, norm, tmp_path):
+    """NF whole-frame loader vs the reference NF parse_case_eval
+    (NF/input_pipeline_g.py:691-719): clip(0,900)/900 and the UNMASKED
+    per-slice z-score (background zeros become -mean/std — the reference's
+    eval-side convention, distinct from its masked train z-score)."""
+    from boxsegliver_tpu.data.meta import window_clip_uint16
+
+    in_vol = g[f"{norm}_in_vol"]
+    case_dir = tmp_path / "volume-7"
+    case_dir.mkdir(parents=True)
+    np.save(case_dir / "volume.npy",
+            window_clip_uint16(in_vol, gray_min=0, gray_max=1000))
+    np.save(case_dir / "segmentation.npy", g[f"{norm}_in_seg"])
+    meta = {"PID": 7, "size": [int(v) for v in in_vol.shape],
+            "bbox": [0, 0, 0] + [int(v) for v in in_vol.shape],
+            "spacing": [3.0, 1.0, 1.0]}
+    case = parse_case_eval(meta, tmp_path, im_channel=3, norm=norm,
+                           whole_frame=True)
+    assert (case.lhc, case.rhc) == tuple(g[f"{norm}_lr"])
+    ref = np.transpose(g[f"{norm}_volume"], (2, 0, 1))  # (y,x,z) -> (z,y,x)
+    ours = case.volume[case.lhc:case.lhc + case.depth]
+    if norm == "nf_zscore":
+        # DOCUMENTED DEVIATION: a fully-empty slice makes the reference
+        # divide by NaN statistics (RuntimeWarning in their code) and emit a
+        # NaN slice; our loader leaves it at 0.
+        empty = ~np.any(g[f"{norm}_in_vol"] > 0, axis=(1, 2))
+        assert np.isnan(ref[empty]).all()
+        assert (ours[empty] == 0).all()
+        np.testing.assert_allclose(ours[~empty], ref[~empty],
+                                   rtol=1e-5, atol=1e-5)
+    else:
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.clip(case.segmentation, 0, 1), g[f"{norm}_seg"])

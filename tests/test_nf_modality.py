@@ -119,9 +119,15 @@ def test_parse_case_eval_nf_norms(nf_root):
 
     case_z = parse_case_eval(meta, nf_root, im_channel=3, norm="nf_zscore",
                              whole_frame=True)
-    mid = case_z.volume[case_z.volume.shape[0] // 2]
-    nz = mid != 0
-    assert abs(mid[nz].mean()) < 0.2  # per-slice standardized
+    # reference-exact NF eval z-score: stats from nonzero voxels, applied
+    # UNMASKED (NF/input_pipeline_g.py:699-705) — statistics computed over
+    # the originally-nonzero region standardize to ~(0, 1)
+    mid_raw = case_z.depth // 2
+    zmid = case_z.volume[case_z.lhc + mid_raw]
+    raw = np.load(nf_root / f"volume-{meta['PID']}" / "volume.npy")
+    nz = np.asarray(raw[mid_raw]) > 0
+    assert abs(zmid[nz].mean()) < 0.2
+    assert abs(zmid[nz].std() - 1.0) < 0.2
 
 
 def test_run_sp_with_perfect_predictor(nf_root, tmp_path):

@@ -29,15 +29,19 @@ OUT = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / \
     "geometry_golden.npz"
 
 
-def extract_reference_fn():
-    """exec the reference parse_case_eval in a stubbed namespace."""
-    tree = ast.parse(REF_PIPE.read_text())
+NF_PIPE = Path("/root/reference/DataLoader/NF/input_pipeline_g.py")
+
+
+def _extract(pipe_path: Path, extra_ns=None):
+    """exec the reference parse_case_eval of a pipeline file in a stubbed
+    namespace; returns (fn, volumes dict served by the nii stub)."""
+    tree = ast.parse(pipe_path.read_text())
     src = None
     for node in tree.body:
         if isinstance(node, ast.FunctionDef) and node.name == "parse_case_eval":
-            src = ast.get_source_segment(REF_PIPE.read_text(), node)
+            src = ast.get_source_segment(pipe_path.read_text(), node)
     if src is None:
-        raise SystemExit("parse_case_eval not found in reference")
+        raise SystemExit(f"parse_case_eval not found in {pipe_path}")
 
     volumes = {}
 
@@ -48,13 +52,19 @@ def extract_reference_fn():
 
         @staticmethod
         def read_nii(path):
-            raise AssertionError("test_data path not exercised")
+            # the NF loader reads by path: serve vol/lab by name
+            kind = "vol" if "volume" in str(path) else "lab"
+            return None, volumes[(7, kind)]
 
     ns = {"math": math, "np": np, "nii_kits": NiiStub,
-          "GRAY_MIN": -200, "GRAY_MAX": 250,
           "PROJ_ROOT": Path("/nonexistent"), "Path": Path, "print": print}
-    exec(compile(src, str(REF_PIPE), "exec"), ns)
+    ns.update(extra_ns or {})
+    exec(compile(src, str(pipe_path), "exec"), ns)
     return ns["parse_case_eval"], volumes
+
+
+def extract_reference_fn():
+    return _extract(REF_PIPE, {"GRAY_MIN": -200, "GRAY_MAX": 250})
 
 
 def main():
@@ -101,6 +111,33 @@ def main():
         # normalized values are (clip(HU,-200,250)+200)/450: store exactly as
         # int16 numerators to keep the fixture small
         out[f"{name}_volume450"] = np.round(rvol * 450).astype(np.int16)
+        out[f"{name}_seg"] = rseg
+
+    # ---- NF loader (whole-frame, clip / unmasked per-slice z-score) -------
+    nf_fn, nf_vols = _extract(NF_PIPE)
+    for zs in (False, True):
+        name = "nf_zscore" if zs else "nf_clip"
+        size = (10, 64, 64)
+        # raw values within the NF gray range [0, 1000] (the declared NF
+        # window, reference NF/input_pipeline.py:45-46) — the npy cache
+        # stores that window, so values beyond it are an extraction-time
+        # clip, not an eval-loader property
+        vol = rng.randint(0, 1001, size=size).astype(np.int16)
+        vol[:, :8, :] = 0          # background rows exercise the zero mask
+        vol[3] = 0                 # an empty slice
+        seg = (rng.rand(*size) < 0.15).astype(np.uint8)
+        nf_vols[(7, "vol")] = vol
+        nf_vols[(7, "lab")] = seg
+        case = {"size": list(size), "PID": 7,
+                "vol_case": "volume-7.nii", "lab_case": "segmentation-7.nii"}
+        pid, _, _, oshape, cshape, lhc, rhc, rvol, rseg = nf_fn(
+            case, 3, parse_label=True, z_score=zs)
+        out[f"{name}_in_vol"] = vol
+        out[f"{name}_in_seg"] = seg
+        out[f"{name}_cshape"] = np.asarray(cshape)
+        out[f"{name}_lr"] = np.asarray([lhc, rhc])
+        # (y, x, z) float32; z-scored values are not integer-exact — store f32
+        out[f"{name}_volume"] = rvol.astype(np.float32)
         out[f"{name}_seg"] = rseg
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **out)
