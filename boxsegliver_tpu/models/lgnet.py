@@ -15,6 +15,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from boxsegliver_tpu.models.layers import ConvNormAct, UpConv, get_kernel_init
+from boxsegliver_tpu.models.packed import (PackedConvNormAct, PackedPointwise,
+                                           PackedUpConv, pack_w, packed_concat,
+                                           packed_max_pool, unpack_w)
 
 _LAYER_C = (64, 128, 256, 512, 1024)
 
@@ -29,6 +32,8 @@ class LGNet(nn.Module):
     img_grad: bool = False
     weight_init: str = "xavier"
     dtype: Optional[Any] = None
+    # width-packed stage 0 (models/packed.py; see UNet.lane_pack)
+    lane_pack: bool = False
 
     def _spatial_pyramid(self, sp_guide, layers: Sequence[int], tag: str):
         """1x1 conv per modulated layer over avg-pooled guides (LGNet.py:31-54)."""
@@ -59,9 +64,10 @@ class LGNet(nn.Module):
             enc_params = [None] * len(self.mod_layers[0])
             dec_params = [None] * len(self.mod_layers[1])
 
-        def merge_guide_act(x, layer, params, layers):
+        def merge_guide_act(x, layer, params, layers, packed=False):
             if self.use_spatial and layer in layers:
-                x = x + params[list(layers).index(layer)]
+                sp = params[list(layers).index(layer)]
+                x = x + (pack_w(sp) if packed else sp)
             return nn.relu(x)
 
         if self.img_grad:
@@ -73,9 +79,25 @@ class LGNet(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
+        pack = self.lane_pack and x.shape[2] % 2 == 0
         skips = []
         for i in range(5):  # 4 encoder stages + bridge
             ch = _LAYER_C[i]
+            if pack and i == 0:
+                x = pack_w(x)
+                x = PackedConvNormAct(ch, normalizer=norm, act=nn.relu,
+                                      weight_init=self.weight_init,
+                                      dtype=self.dtype,
+                                      name="conv_e0_conv1")(x, train=train)
+                x = PackedConvNormAct(ch, normalizer=norm, act=None,
+                                      weight_init=self.weight_init,
+                                      dtype=self.dtype,
+                                      name="conv_e0_conv2")(x, train=train)
+                x = merge_guide_act(x, 0, enc_params, self.mod_layers[0],
+                                    packed=True)
+                skips.append(x)
+                x = packed_max_pool(x)
+                continue
             x = ConvNormAct(ch, normalizer=norm, act=nn.relu,
                             weight_init=self.weight_init, dtype=self.dtype,
                             name=f"conv_e{i}_conv1")(x, train=train)
@@ -89,6 +111,25 @@ class LGNet(nn.Module):
 
         for i in reversed(range(4)):
             ch = _LAYER_C[i]
+            if pack and i == 0:
+                up = PackedUpConv(ch, weight_init=self.weight_init,
+                                  dtype=self.dtype, name="conv_d0_up")(x)
+                groups = (skips[0].shape[-1] // 2, up.shape[-1] // 2)
+                x = packed_concat(skips[0], up)
+                x = PackedConvNormAct(ch, normalizer=norm, act=None,
+                                      weight_init=self.weight_init,
+                                      dtype=self.dtype, in_groups=groups,
+                                      name="conv_d0_conv1")(x, train=train)
+                x = merge_guide_act(x, 0, dec_params, self.mod_layers[1],
+                                    packed=True)
+                x = PackedConvNormAct(ch, normalizer=norm, act=nn.relu,
+                                      weight_init=self.weight_init,
+                                      dtype=self.dtype,
+                                      name="conv_d0_conv2")(x, train=train)
+                x = PackedPointwise(self.num_classes,
+                                    weight_init=self.weight_init,
+                                    dtype=self.dtype, name="logits")(x)
+                return unpack_w(x).astype(jnp.float32)
             x = UpConv(ch, weight_init=self.weight_init, dtype=self.dtype,
                        name=f"conv_d{i}_up")(x)
             x = jnp.concatenate([skips[i], x], axis=-1)

@@ -59,16 +59,16 @@ def unpack_w(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h, w2 * 2, c2 // 2)
 
 
-def packed_concat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Channel concat of two packed tensors.
+def packed_concat(*tensors: jnp.ndarray) -> jnp.ndarray:
+    """Channel concat of packed tensors.
 
-    The result is NOT globally phase-major — it is [a_p0|a_p1|b_p0|b_p1]
+    The result is NOT globally phase-major — it is [a_p0|a_p1|b_p0|b_p1|…]
     (group-major).  Reordering the TENSOR into phase-major would slice out
-    four half-lane (C=64) intermediates whose forward+backward fusions run at
+    half-lane (C=64) intermediates whose forward+backward fusions run at
     half bandwidth (measured: ~306 GB/s vs ~600 for full-lane shapes);
     instead the consuming PackedConv bakes the permutation into its kernel
     scatter via in_groups — zero runtime cost."""
-    return jnp.concatenate([a, b], axis=-1)
+    return jnp.concatenate(tensors, axis=-1)
 
 
 def packed_max_pool(x: jnp.ndarray) -> jnp.ndarray:
@@ -132,6 +132,50 @@ class PackedConv(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + jnp.tile(b, 2).astype(y.dtype)
+        return y
+
+
+class PackedStridedConv(nn.Module):
+    """3x3 stride-2 conv from a PACKED input to an UNPACKED output (the
+    downsampling convs of the SmallUNet/InterUNet families,
+    reference SmallUNet.py:31-57 / InterUNet.py:28-67 config tables).
+
+    With SAME padding at stride 2 over an even axis, lax pads (0, 1) and
+    output col x_o reads original cols 2*x_o + kx: width tap kx maps to
+    packed col x_o + kx//2, phase kx%2 → a [3, 2, 2Cin, Cout] kernel at
+    packed-W stride 1 with padding (0, 1); the height dim keeps kernel 3
+    stride 2 with the same (0, 1) padding (even heights).  Params identical
+    to nn.Conv ([3,3,Cin,Cout])."""
+    features: int
+    use_bias: bool = False
+    weight_init: str = "xavier"
+    dtype: Optional[Dtype] = None
+    in_groups: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1] // 2
+        groups = tuple(self.in_groups) if self.in_groups else (cin,)
+        assert sum(groups) == cin, (groups, cin)
+        k = self.param("kernel", get_kernel_init(self.weight_init),
+                       (3, 3, cin, self.features))
+        k2 = jnp.zeros((3, 2, 2 * cin, self.features), k.dtype)
+        for kx in range(3):
+            s, q = kx // 2, kx % 2
+            off = c0 = 0
+            for size in groups:
+                k2 = k2.at[:, s, off + q * size:off + (q + 1) * size].set(
+                    k[:, kx, c0:c0 + size])
+                off += 2 * size
+                c0 += size
+        if self.dtype is not None:
+            x, k2 = x.astype(self.dtype), k2.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, k2, window_strides=(2, 1), padding=((0, 1), (0, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -243,6 +287,32 @@ class PackedConvNormAct(nn.Module):
         if self.normalizer is not None:
             x = PackedNorm(self.normalizer, self.norm_bias, self.norm_scale,
                            dtype=self.dtype, name="Norm_0")(x, train=train)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class PackedStridedConvNormAct(nn.Module):
+    """ConvNormAct twin for the PACKED→UNPACKED stride-2 downsampling conv
+    (param tree Conv_0/Norm_0 like layers.ConvNormAct; the norm runs on the
+    unpacked output so the standard layers.Norm applies)."""
+    features: int
+    normalizer: Optional[str] = "instance_norm"
+    act: Optional[Callable] = nn.relu
+    weight_init: str = "xavier"
+    dtype: Optional[Dtype] = None
+    in_groups: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from boxsegliver_tpu.models.layers import Norm
+        x = PackedStridedConv(self.features,
+                              use_bias=self.normalizer is None,
+                              weight_init=self.weight_init, dtype=self.dtype,
+                              in_groups=self.in_groups, name="Conv_0")(x)
+        if self.normalizer is not None:
+            x = Norm(self.normalizer, True, True, dtype=self.dtype,
+                     name="Norm_0")(x, train=train)
         if self.act is not None:
             x = self.act(x)
         return x

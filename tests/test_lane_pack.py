@@ -175,6 +175,58 @@ def test_unet_inter_forward_parity(x):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_small_unet_forward_parity(x):
+    from boxsegliver_tpu.models.small_unet import SmallUNet
+    base = dict(num_classes=2, init_channel_factor=0.125,
+                normalizer="instance_norm")
+    ref, packed = SmallUNet(**base), SmallUNet(lane_pack=True, **base)
+    feats = {"images": x,
+             "sp_guide": jnp.asarray(
+                 np.random.RandomState(5).rand(*x.shape[:3], 1), jnp.float32)}
+    v = ref.init(jax.random.PRNGKey(0), feats, train=False)
+    vp = packed.init(jax.random.PRNGKey(0), feats, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+    yr = ref.apply(v, feats, train=False)
+    yp = packed.apply(v, feats, train=False)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yp),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("img_grad", [False, True])
+def test_inter_unet_forward_parity(x, img_grad):
+    from boxsegliver_tpu.models.inter_unet import InterUNet
+    base = dict(num_classes=2, init_channel_factor=0.125, im_channel=3,
+                img_grad=img_grad, normalizer="instance_norm")
+    ref, packed = InterUNet(**base), InterUNet(lane_pack=True, **base)
+    feats = {"images": x,
+             "sp_guide": jnp.asarray(
+                 np.random.RandomState(6).rand(*x.shape[:3], 2), jnp.float32)}
+    v = ref.init(jax.random.PRNGKey(0), feats, train=False)
+    vp = packed.init(jax.random.PRNGKey(0), feats, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+    yr = ref.apply(v, feats, train=False)
+    yp = packed.apply(v, feats, train=False)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yp),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_lgnet_forward_parity():
+    from boxsegliver_tpu.models.lgnet import LGNet
+    base = dict(num_classes=2, use_spatial=True, mod_layers=((0, 1), (0, 1)),
+                normalizer="instance_norm")
+    ref, packed = LGNet(**base), LGNet(lane_pack=True, **base)
+    rng = np.random.RandomState(7)
+    feats = {"images": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32),
+             "sp_guide": jnp.asarray(rng.rand(1, 32, 32, 1), jnp.float32)}
+    v = ref.init(jax.random.PRNGKey(0), feats, train=False)
+    vp = packed.init(jax.random.PRNGKey(0), feats, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+    yr = ref.apply(v, feats, train=False)
+    yp = packed.apply(v, feats, train=False)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yp),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_odd_width_falls_back(x):
     """lane_pack with an odd width silently uses the standard path."""
     model = UNet(num_classes=2, init_channels=8, num_down_samples=1,
