@@ -417,9 +417,10 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
         whole = args.im_depth <= 0
         # fast path (PERF.md round 3): device argmax + in-graph z-score +
         # on-device blank guides — the tunnel fetch/upload dominated the 3D
-        # number otherwise.  Sliding-window and cascade need host probs.
-        fast = whole and cascade is None \
-            and not getattr(args, "use_cascade", False)
+        # number otherwise.  Cascade channels need the host-normalized volume.
+        no_cascade = cascade is None and not getattr(args, "use_cascade",
+                                                     False)
+        fast = whole and no_cascade
         kw = dict(ret="pred" if fast else "prob",
                   in_zscore=fast, blank_guide_channels=gc)
         if z_shards and z_shards > 1 and whole:
@@ -427,6 +428,15 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
                                           make_mesh(z_shards), z_shards, **kw)
         elif fast:
             predict = make_volume_predict(trainer.model, trainer.state, **kw)
+        elif not whole:
+            # device-resident sliding window: in-graph tile scan replaces the
+            # per-tile tunnel round trips (PERF.md 3D eval table)
+            from boxsegliver_tpu.evaluators.volume3d import make_sliding_predict
+            predict = make_sliding_predict(
+                trainer.model, trainer.state,
+                (args.im_depth, args.im_height, args.im_width),
+                num_classes=len(args.classes) + 1,
+                ret="pred", in_zscore=no_cascade, blank_guide_channels=gc)
         else:
             predict = lambda f: trainer.predict(_with_blank_guide(args, f))
         results = ev3.run(predict, eval_metas, do_eval=do_eval,

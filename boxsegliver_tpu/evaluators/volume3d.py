@@ -101,6 +101,90 @@ def make_volume_predict(model, state, mesh=None, z_axis_shards: int = 0,
     return predict
 
 
+def _tile_starts(size: int, patch: int, step: int) -> List[int]:
+    return sorted(set(list(range(0, size - patch + 1, step)) + [size - patch]))
+
+
+def make_sliding_predict(model, state, patch: Tuple[int, int, int],
+                         num_classes: int, overlap: float = 0.5,
+                         ret: str = "pred", in_zscore: bool = False,
+                         blank_guide_channels: int = 0):
+    """Device-resident sliding-window inference: upload the padded volume
+    once, `lax.scan` over tile starts with in-graph overlap-count averaging,
+    fetch a uint8 argmax (ret='pred') or the averaged probs (ret='prob').
+
+    Same math as `sliding_window_3d` (reference patch eval,
+    evaluator_liver.py:524-586) — tile order, f32 accumulation order, and
+    count division are identical, so outputs match the host loop
+    (tests/test_pipeline3d.py) — but the per-tile tunnel round trips
+    (upload + f32 prob fetch per tile, the dominant cost in PERF.md's
+    13.3 volumes/min row) collapse into one dispatch per volume.
+
+    The returned fn takes the PADDED [d, h, w, c] volume (raw when
+    in_zscore, host-normalized otherwise — cascade channels allowed) and is
+    marked `.sliding = True` for EvaluateVolume3D.predict_case routing.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    variables = {"params": state.params}
+    if getattr(state, "batch_stats", None):
+        variables["batch_stats"] = state.batch_stats
+
+    @functools.lru_cache(maxsize=None)
+    def compiled(pd: int, ph: int, pw: int):
+        def run(variables, vol, starts):
+            if in_zscore:
+                vol = _zscore_jnp(vol.astype(jnp.float32))
+            nch = vol.shape[-1]
+
+            def body(carry, s):
+                probs, counts = carry
+                tile = jax.lax.dynamic_slice(
+                    vol, (s[0], s[1], s[2], 0), (pd, ph, pw, nch))
+                feats = {"images": tile[None].astype(jnp.float32)}
+                if blank_guide_channels:
+                    feats["sp_guide"] = jnp.zeros(
+                        (1, pd, ph, pw, blank_guide_channels), jnp.float32)
+                logits = model.apply(variables, feats, train=False)[0]
+                p = jax.nn.softmax(logits, axis=-1)
+                at = (s[0], s[1], s[2], 0)
+                cur = jax.lax.dynamic_slice(probs, at, (pd, ph, pw, num_classes))
+                probs = jax.lax.dynamic_update_slice(probs, cur + p, at)
+                curc = jax.lax.dynamic_slice(counts, at, (pd, ph, pw, 1))
+                counts = jax.lax.dynamic_update_slice(counts, curc + 1.0, at)
+                return (probs, counts), None
+
+            init = (jnp.zeros(vol.shape[:3] + (num_classes,), jnp.float32),
+                    jnp.zeros(vol.shape[:3] + (1,), jnp.float32))
+            (probs, counts), _ = jax.lax.scan(body, init, starts)
+            avg = probs / counts
+            if ret == "pred":
+                return jnp.argmax(avg, axis=-1).astype(jnp.uint8)
+            return avg
+
+        return jax.jit(run)
+
+    def predict(vol: np.ndarray) -> np.ndarray:
+        vol = np.asarray(vol)
+        d, h, w = vol.shape[:3]
+        pd, ph, pw = (min(p, s) for p, s in zip(patch, (d, h, w)))
+        steps = [max(1, int(p * (1 - overlap))) for p in (pd, ph, pw)]
+        starts = np.asarray([(z0, y0, x0)
+                             for z0 in _tile_starts(d, pd, steps[0])
+                             for y0 in _tile_starts(h, ph, steps[1])
+                             for x0 in _tile_starts(w, pw, steps[2])],
+                            np.int32)
+        return np.asarray(compiled(pd, ph, pw)(variables, vol, starts))
+
+    predict.ret = ret
+    predict.in_zscore = in_zscore
+    predict.sliding = True
+    return predict
+
+
 def sliding_window_3d(predict_fn: Callable, volume: np.ndarray,
                       patch: Tuple[int, int, int], num_classes: int,
                       overlap: float = 0.5) -> np.ndarray:
@@ -164,7 +248,11 @@ class EvaluateVolume3D(EvaluateBase):
             # without clicks, interactive/cascade.gt_cascade_channel)
             vol = np.concatenate([vol, np.zeros_like(vol)], axis=-1)
         padded, pads = pad_to_multiple(vol, self.align)
-        if args.im_depth > 0 and padded.shape[0] > args.im_depth:
+        if getattr(predict_fn, "sliding", False):
+            # device-resident sliding window (make_sliding_predict): one
+            # upload, in-graph tile scan + overlap averaging
+            out = predict_fn(padded)
+        elif args.im_depth > 0 and padded.shape[0] > args.im_depth:
             assert getattr(predict_fn, "ret", "prob") == "prob", \
                 "sliding-window eval needs a prob-mode predict fn"
             out = sliding_window_3d(

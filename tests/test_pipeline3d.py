@@ -14,6 +14,7 @@ from boxsegliver_tpu.data.meta import load_meta
 from boxsegliver_tpu.data.pipeline3d import process_train_batch_3d
 from boxsegliver_tpu.data.sampler3d import Sampler3D, volume_crop
 from boxsegliver_tpu.evaluators.volume3d import (EvaluateVolume3D,
+                                                 make_sliding_predict,
                                                  make_volume_predict,
                                                  pad_to_multiple,
                                                  sliding_window_3d)
@@ -183,6 +184,51 @@ def test_fast_pred_path_matches_prob_path(dataset):
     pred = ev.predict_case(fast, vol)
     assert pred.dtype == np.uint8 and pred.shape == vol.shape
     np.testing.assert_array_equal(pred, probs.argmax(-1).astype(np.uint8))
+
+
+def test_device_sliding_matches_host_loop(dataset):
+    """make_sliding_predict — one upload + in-graph tile scan — must
+    reproduce the host sliding_window_3d loop: prob mode to 1e-5, and the
+    pred-mode in-graph-zscore fast path bit for bit through predict_case."""
+    from boxsegliver_tpu.train.trainer import TrainState
+    from flax.core import FrozenDict
+
+    model = build_model("UNet3D", model_kwargs={
+        "init_channels": 4, "normalizer": "instance_norm", "num_pool": 4},
+        num_classes=3)
+    feats = {"images": jnp.zeros((1, 4, 32, 32, 1), jnp.float32)}
+    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=(), lr_scale=jnp.ones((), jnp.float32))
+    args = _args(im_depth=4)
+    ev = EvaluateVolume3D(args, dataset, ["Background", "Liver", "Tumor"],
+                          align=(2, 16, 16))
+    vol = (np.random.RandomState(5).rand(10, 40, 40) * 900).astype(np.uint16)
+
+    # host reference: z-score + pad + per-tile prob loop (the old path)
+    host_prob = make_volume_predict(model, state)
+    ref_probs = ev.predict_case(host_prob, vol)
+
+    # prob-mode device scan on the identical padded input
+    from boxsegliver_tpu.ops.image_ops import zscore
+    norm = np.asarray(zscore(jnp.asarray(vol, jnp.float32)))[..., None]
+    padded, pads = pad_to_multiple(norm, (2, 16, 16))
+    dev_prob = make_sliding_predict(model, state, (4, 32, 32),
+                                    num_classes=3, ret="prob")
+    out = dev_prob(padded)[:padded.shape[0] - pads[0],
+                           :padded.shape[1] - pads[1],
+                           :padded.shape[2] - pads[2]]
+    np.testing.assert_allclose(out, ref_probs, atol=1e-5)
+
+    # pred-mode fast path routed through predict_case (cli.main wiring)
+    dev_pred = make_sliding_predict(model, state, (4, 32, 32),
+                                    num_classes=3, ret="pred",
+                                    in_zscore=True)
+    pred = ev.predict_case(dev_pred, vol)
+    assert pred.dtype == np.uint8 and pred.shape == vol.shape
+    np.testing.assert_array_equal(pred, ref_probs.argmax(-1).astype(np.uint8))
 
 
 def test_fast_pred_blank_guide(dataset):
