@@ -460,7 +460,20 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
                                    do_eval=do_eval)
     elif getattr(args, "use_spatial", False) and not getattr(args, "eval_no_sp",
                                                              False):
-        results = evaluator.run_g(trainer.predict, eval_metas,
+        if getattr(args, "device_sweep", "on") == "on":
+            # both propagation sweeps of a case as ONE dispatch
+            # (interactive/device_sweep.py; host loop stays the fallback)
+            from boxsegliver_tpu.interactive.device_sweep import \
+                GuidedSweepPredictor
+            # same id rule as run_g (base strips Background from classes)
+            fg = [c for c in args.classes if c != "Background"]
+            tumor_id = (fg.index("Tumor") + 1 if "Tumor" in fg else len(fg))
+            predict_g = GuidedSweepPredictor(
+                trainer.model, trainer.state, args,
+                num_classes=len(fg) + 1, tumor_id=tumor_id)
+        else:
+            predict_g = trainer.predict
+        results = evaluator.run_g(predict_g, eval_metas,
                                   save=args.save_predict or not do_eval,
                                   do_eval=do_eval)
     else:

@@ -257,6 +257,15 @@ def add_pipeline_arguments(parser: argparse.ArgumentParser):
                        help="Base Gaussian stddev of sp-point eval guides "
                             "(reference NF/input_pipeline_g.py:788)")
     group.add_argument("--real_sp", type=str, help="Path to real spatial guide")
+    group.add_argument("--device_sweep", choices=["on", "off"], default="on",
+                       help="Run the interactive guide-propagation eval "
+                            "(run_g) as one in-graph double sweep per case "
+                            "(interactive/device_sweep.py); off = "
+                            "reference-shaped per-slice host loop")
+    group.add_argument("--sweep_max_objects", type=int, default=16,
+                       help="Static per-slice object cap of the device "
+                            "sweep; cases exceeding it fall back to the "
+                            "host loop")
     group.add_argument("--guide_channel", type=int, default=2,
                        help="Interactive guide channels (1 = fg-bg, 2 = both)")
     group.add_argument("--max_objs", type=int, default=8,

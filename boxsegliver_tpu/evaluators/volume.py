@@ -253,9 +253,6 @@ class EvaluateVolume(EvaluateBase):
         """
         import json
 
-        from boxsegliver_tpu.interactive.propagation import \
-            GuidePropagationLoader
-
         args = self.args
         if prior is None:
             prior_file = Path(getattr(args, "real_sp", None) or
@@ -269,6 +266,12 @@ class EvaluateVolume(EvaluateBase):
         limit = getattr(args, "eval_num", -1)
         tumor_id = (self.classes.index("Tumor") + 1 if "Tumor" in self.classes
                     else len(self.classes))
+        # device-resident double sweep (interactive/device_sweep.py): both
+        # propagation sweeps in one dispatch; None => host loop (off, guide
+        # dumping, or a per-case static-cap overflow)
+        sweep_dev = getattr(predict_fn, "sweep_case", None)
+        if getattr(args, "save_sp_guide", False):
+            sweep_dev = None
         for meta in list(case_metas)[skip:]:
             if 0 < limit <= n:
                 break
@@ -281,26 +284,48 @@ class EvaluateVolume(EvaluateBase):
             if self.context_list is not None:
                 context = load_eval_context(self.dataset_dir, case.pid,
                                             self.context_list, args.hist_scale)
-            loader = GuidePropagationLoader(case, prior.get(str(case.pid), {}),
-                                            args, context=context)
-            volumes = {}
-            for direction in ("Forward", "Backward"):
-                chunks = []
-                for idx in loader.sweep(direction):
-                    feats = loader.slice_features(idx)
-                    probs = np.asarray(predict_fn(feats), np.float32)
-                    merged = loader.merge_mirrors(probs)
-                    chunks.append(merged)
-                    loader.set_last_pred(
-                        (merged.argmax(-1) == tumor_id).astype(np.uint8))
-                volumes[direction] = np.stack(chunks, axis=0)
-                if getattr(args, "save_sp_guide", False):
-                    loader.save_guides(Path(args.model_dir) / "sp_guide")
-            probs3d = np.maximum(volumes["Forward"], volumes["Backward"][::-1])
+            probs3d = None
+            if sweep_dev is not None:
+                probs3d, n_objs = sweep_dev(case,
+                                            prior.get(str(case.pid), {}),
+                                            context)
+                if probs3d is None:
+                    logger.info("  case %s: %d objects overflow the device "
+                                "sweep caps; host loop", case.pid, n_objs)
+            if probs3d is None:
+                probs3d = self._sweep_case_host(
+                    predict_fn, case, prior.get(str(case.pid), {}), context,
+                    tumor_id)
             n += 1
             self._finish_case(case, probs3d, accumulator, save, save_path,
                               do_eval, n, t0)
         return self._finish_run(accumulator, n)
+
+    def _sweep_case_host(self, predict_fn: Callable, case,
+                         prior_case: Dict, context, tumor_id: int
+                         ) -> np.ndarray:
+        """Reference-shaped per-slice propagation loop (one device call per
+        slice); the parity oracle for the device sweep."""
+        from boxsegliver_tpu.interactive.propagation import \
+            GuidePropagationLoader
+
+        args = self.args
+        loader = GuidePropagationLoader(case, prior_case, args,
+                                        context=context)
+        volumes = {}
+        for direction in ("Forward", "Backward"):
+            chunks = []
+            for idx in loader.sweep(direction):
+                feats = loader.slice_features(idx)
+                probs = np.asarray(predict_fn(feats), np.float32)
+                merged = loader.merge_mirrors(probs)
+                chunks.append(merged)
+                loader.set_last_pred(
+                    (merged.argmax(-1) == tumor_id).astype(np.uint8))
+            volumes[direction] = np.stack(chunks, axis=0)
+            if getattr(args, "save_sp_guide", False):
+                loader.save_guides(Path(args.model_dir) / "sp_guide")
+        return np.maximum(volumes["Forward"], volumes["Backward"][::-1])
 
     def run_sp(self, predict_fn: Callable, case_metas: Iterable[Dict],
                save: bool = False, save_path=None, do_eval: bool = True

@@ -1,0 +1,211 @@
+"""In-graph interactive guided eval (interactive/device_sweep.py) vs the
+host per-slice propagation loop: same merged probability volumes, same
+metrics, working overflow fallback."""
+
+import argparse
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from boxsegliver_tpu.data.meta import load_meta
+from boxsegliver_tpu.data.synthetic import make_synthetic_dataset
+from boxsegliver_tpu.evaluators.eval_loader import parse_case_eval
+from boxsegliver_tpu.evaluators.volume import EvaluateVolume
+from boxsegliver_tpu.interactive.device_sweep import GuidedSweepPredictor
+from boxsegliver_tpu.models import build_model
+from boxsegliver_tpu.train.trainer import TrainState
+
+
+def _args(model_dir, **kw):
+    ns = argparse.Namespace(
+        im_height=64, im_width=64, im_channel=3, batch_size=4,
+        eval_mirror=True, random_flip=3, metrics_eval=["Dice"],
+        primary_metric=None, secondary_metric=None, task="liver",
+        use_context=False, use_spatial=True, hist_scale=20.0,
+        eval_num=-1, eval_skip_num=0, min_std=2.0, eval_discount=0.85,
+        save_sp_guide=False, real_sp=None, sweep_max_objects=8,
+        pred_type="pred", save_path="pred", model_dir=str(model_dir))
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dev_sweep") / "ds"
+    make_synthetic_dataset(root, n_cases=2, shape=(11, 96, 96), k_split=2,
+                           seed=7)
+    return root
+
+
+def _gunet(with_ctx=False, fit_on=None, steps=60):
+    """Tiny spatial GUNet; when `fit_on` is an EvalCase, Adam-fit it for a
+    few steps so predictions are blobby objects (a random init speckles
+    hundreds of components per slice, which no trained model produces and
+    which overflows the sweep's static caps)."""
+    import cv2
+    import jax.numpy as jnp
+    import optax
+    from flax.core import FrozenDict
+
+    kw = {"init_channels": 4, "num_down_samples": 2, "mod_layers": (1, 2),
+          "use_spatial": True, "normalizer": "instance_norm"}
+    feats = {"images": np.zeros((4, 64, 64, 3), np.float32),
+             "sp_guide": np.zeros((4, 64, 64, 1), np.float32)}
+    if with_ctx:
+        kw.update(context_fc_channels=(8,), use_context=True)
+        feats["context"] = np.zeros((4, 16), np.float32)
+    model = build_model("GUNet", model_kwargs=kw, num_classes=3)
+    variables = model.init(jax.random.PRNGKey(1), feats, train=False)
+    params = variables["params"]
+
+    if fit_on is not None:
+        case = fit_on
+        cz = case.depth
+        vol = np.stack([cv2.resize(s, (64, 64), interpolation=cv2.INTER_LINEAR)
+                        for s in case.volume.astype(np.float32)])
+        seg = np.stack([cv2.resize(s, (64, 64),
+                                   interpolation=cv2.INTER_NEAREST)
+                        for s in case.segmentation])
+        images = np.stack([vol[i:i + 3].transpose(1, 2, 0)
+                           for i in range(cz)])
+        guides = np.full((cz, 64, 64, 1), 0.5, np.float32)
+        from boxsegliver_tpu.ops import array_kits
+        for i in range(cz):
+            m = seg[i] == 2
+            if m.any():
+                c, s = array_kits.compute_robust_moments(m, indexing="ij",
+                                                         min_std=2.0)
+                g = array_kits.create_gaussian_distribution_v2(
+                    (64, 64), [c], [s]) * 0.85
+                guides[i, ..., 0] = g / 2 + 0.5
+        batch = {"images": images.astype(np.float32), "sp_guide": guides}
+        if with_ctx:
+            batch["context"] = np.zeros((cz, 16), np.float32)
+        labels = seg.astype(np.int32)
+
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def fit_step(params, opt_state):
+            def loss_fn(p):
+                logits = model.apply({"params": p}, batch, train=False)
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels)
+                return ce.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for _ in range(steps):
+            params, opt_state, loss = fit_step(params, opt_state)
+
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=(), lr_scale=jnp.ones((), jnp.float32))
+    return model, state
+
+
+@pytest.fixture(scope="module")
+def case0(ds):
+    metas = load_meta(ds)
+    return parse_case_eval(metas[0], ds, im_channel=3, parse_label=True)
+
+
+@pytest.fixture(scope="module")
+def fitted(case0):
+    return _gunet(fit_on=case0)
+
+
+@pytest.fixture(scope="module")
+def fitted_ctx(case0):
+    return _gunet(with_ctx=True, fit_on=case0)
+
+
+@pytest.mark.parametrize("mirror", [False, True])
+def test_sweep_case_matches_host_loop(ds, tmp_path, fitted, mirror):
+    args = _args(tmp_path / "m", eval_mirror=mirror)
+    ev = EvaluateVolume(args, ds, ["Liver", "Tumor"])
+    metas = load_meta(ds)
+    prior = json.loads((ds / "prior.json").read_text())
+    model, state = fitted
+    predictor = GuidedSweepPredictor(model, state, args, num_classes=3,
+                                     tumor_id=2)
+    for meta in metas[:2]:
+        case = parse_case_eval(meta, ds, im_channel=3, parse_label=True,
+                               norm=ev.norm, whole_frame=ev.nf)
+        pc = prior.get(str(case.pid), {})
+        assert pc, "synthetic prior must seed the sweep"
+        host = ev._sweep_case_host(predictor, case, pc, None, tumor_id=2)
+        dev, n_max = predictor.sweep_case(case, pc, None)
+        assert dev is not None and 0 <= n_max <= args.sweep_max_objects
+        assert dev.shape == host.shape
+        np.testing.assert_allclose(dev, host, atol=2e-4, rtol=2e-4)
+        # the sweep must actually segment something (trained net + prior)
+        assert (dev.argmax(-1) == 2).sum() > 0
+
+
+def test_run_g_device_routing_matches_host(ds, tmp_path, fitted):
+    """End-to-end run_g: device predictor vs plain-callable host loop give
+    the same per-case metrics."""
+    args = _args(tmp_path / "m2")
+    metas = load_meta(ds)
+    prior = json.loads((ds / "prior.json").read_text())
+    model, state = fitted
+    predictor = GuidedSweepPredictor(model, state, args, num_classes=3,
+                                     tumor_id=2)
+
+    ev = EvaluateVolume(args, ds, ["Liver", "Tumor"])
+    r_dev = ev.run_g(predictor, metas[:1], prior=prior)
+    host_fn = predictor.__call__          # no .sweep_case attr -> host loop
+    r_host = ev.run_g(host_fn, metas[:1], prior=prior)
+    assert set(r_dev) == set(r_host)
+    for k in r_host:
+        np.testing.assert_allclose(r_dev[k], r_host[k], atol=1e-3,
+                                   err_msg=k)
+
+
+def test_sweep_with_context(ds, tmp_path, fitted_ctx):
+    args = _args(tmp_path / "m3", use_context=True)
+    ev = EvaluateVolume(args, ds, ["Liver", "Tumor"])
+    metas = load_meta(ds)
+    prior = json.loads((ds / "prior.json").read_text())
+    model, state = fitted_ctx
+    predictor = GuidedSweepPredictor(model, state, args, num_classes=3,
+                                     tumor_id=2)
+    case = parse_case_eval(metas[0], ds, im_channel=3, parse_label=True,
+                           norm=ev.norm, whole_frame=ev.nf)
+    rng = np.random.RandomState(0)
+    context = rng.rand(case.oshape[0], 16).astype(np.float32)
+    pc = prior.get(str(case.pid), {})
+    host = ev._sweep_case_host(predictor, case, pc, context, tumor_id=2)
+    dev, _ = predictor.sweep_case(case, pc, context)
+    np.testing.assert_allclose(dev, host, atol=2e-4, rtol=2e-4)
+
+
+def test_overflow_falls_back(ds, tmp_path, fitted):
+    """A case whose predictions exceed the static object cap reports the
+    overflow instead of returning a wrong trajectory."""
+    args = _args(tmp_path / "m4", sweep_max_objects=1)
+    ev = EvaluateVolume(args, ds, ["Liver", "Tumor"])
+    metas = load_meta(ds)
+    prior = json.loads((ds / "prior.json").read_text())
+    model, state = fitted
+    predictor = GuidedSweepPredictor(model, state, args, num_classes=3,
+                                     tumor_id=2)
+    case = parse_case_eval(metas[0], ds, im_channel=3, parse_label=True,
+                           norm=ev.norm, whole_frame=ev.nf)
+    dev, n_max = predictor.sweep_case(case, prior.get(str(case.pid), {}),
+                                      None)
+    if dev is None:
+        assert n_max > 1 or n_max == -1
+        # run_g must still complete through the host fallback
+        res = ev.run_g(predictor, metas[:1], prior=prior)
+        assert res
+    else:
+        # the fitted net produced <=1 object everywhere; cap not exercised
+        assert n_max <= 1
