@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="pred-mode + in-graph z-score + uint16 upload "
                          "(the make_volume_predict fast path)")
+    ap.add_argument("--lane_pack", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="width-packed shallow stages (models/packed3d.py)")
     opts = ap.parse_args()
 
     import jax
@@ -42,7 +45,10 @@ def main():
     from boxsegliver_tpu.evaluators.volume3d import make_volume_predict
     from boxsegliver_tpu.train.trainer import TrainState
 
-    model = build_model("UNet3D", model_kwargs=load_model_config("UNet3D"),
+    kw = load_model_config("UNet3D")
+    if opts.lane_pack != "auto":
+        kw["lane_pack"] = opts.lane_pack == "on"
+    model = build_model("UNet3D", model_kwargs=kw,
                         num_classes=2, dtype=jnp.bfloat16)
     rs = np.random.RandomState(0)
     if opts.fast:
