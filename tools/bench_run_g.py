@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--size", type=int, default=256,
                     help="eval resolution (model is fully convolutional; "
                          "256 = the flagship config)")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="capture a jax.profiler trace of the device sweep "
+                         "into this directory")
     opts = ap.parse_args()
 
     import run_ladder  # tools/run_ladder.py: flag sets + paths
@@ -114,6 +117,14 @@ def main():
         dt = time.perf_counter() - t0
         print(f"{name:22s}: {dt / len(cases):6.2f} s/case "
               f"({slices / dt:6.1f} slices/s)", flush=True)
+
+    if opts.profile and opts.mode in ("both", "dev"):
+        import jax
+        with jax.profiler.trace(opts.profile):
+            for case, pc in zip(cases, priors):
+                out, _ = predictor.sweep_case(case, pc, None)
+                _ = float(np.asarray(out).ravel()[0])
+        print("profile:", opts.profile, flush=True)
 
 
 if __name__ == "__main__":
