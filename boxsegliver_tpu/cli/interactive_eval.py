@@ -34,6 +34,11 @@ def build_parser():
                        choices=["gaussian", "euclidean", "geodesic"])
     group.add_argument("--tta", action="store_true",
                        help="8-way mirror TTA in the 3D loop")
+    group.add_argument("--device_refine", choices=["on", "off"], default="on",
+                       help="2D loop: refine all lesion slices of a case as "
+                            "ONE batched in-graph click loop "
+                            "(interactive/device_refine.py); off = "
+                            "reference-shaped per-slice/per-click host loop")
     group.add_argument("--task", type=str, default="synthetic",
                        help="dataset pairing (as in cli.main); 'synthetic' "
                             "auto-generates, anything else resolves "
@@ -78,6 +83,16 @@ def main(argv=None):
     if args.eval_num > 0:
         eval_metas = eval_metas[:args.eval_num]
 
+    refiner = None
+    if (args.dim == 2 and args.guide_kind in ("gaussian", "euclidean")
+            and getattr(args, "device_refine", "on") == "on"):
+        from boxsegliver_tpu.interactive.device_refine import DeviceRefiner2D
+        refiner = DeviceRefiner2D(
+            trainer.model, trainer.state, dice_thresh=args.dice_thresh,
+            max_iters=args.max_iters, stddev=args.guide_stddev,
+            guide_kind=args.guide_kind,
+            guide_channel=int(args.guide_channel))
+
     all_results = []
     for meta in eval_metas:
         pid = int(meta["PID"])
@@ -97,11 +112,14 @@ def main(argv=None):
             images = np.stack([zscore(np.transpose(
                 padded[z:z + args.im_channel], (1, 2, 0)))
                 for z in range(d)])
-            res = interactive_eval_2d(
-                trainer.predict, images.astype(np.float32), lab,
-                dice_thresh=args.dice_thresh, max_iters=args.max_iters,
-                stddev=args.guide_stddev, guide_kind=args.guide_kind,
-                guide_channel=int(args.guide_channel))
+            if refiner is not None:
+                res = refiner.refine_case(images.astype(np.float32), lab)
+            else:
+                res = interactive_eval_2d(
+                    trainer.predict, images.astype(np.float32), lab,
+                    dice_thresh=args.dice_thresh, max_iters=args.max_iters,
+                    stddev=args.guide_stddev, guide_kind=args.guide_kind,
+                    guide_channel=int(args.guide_channel))
         else:
             from boxsegliver_tpu.evaluators.volume3d import pad_to_multiple
             vol = zscore(vol.astype(np.float32))  # whole-volume (3D conv.)

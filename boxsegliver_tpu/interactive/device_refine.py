@@ -1,0 +1,163 @@
+"""Device-resident interactive click refinement: the whole per-case 2D
+refinement loop (reference entry/main_eval.py:43-396, host re-implementation
+`interactive/refine.interactive_eval_2d`) as ONE jitted dispatch.
+
+The host loop costs one tunnel round trip per CLICK per SLICE (~35 ms
+dispatch floor each), and refines slices one at a time.  TPU-first recast:
+all lesion slices of a case refine SIMULTANEOUSLY — a `lax.while_loop` over
+click rounds whose body places every slice's next click (in-graph largest
+error component, `ops/labeling.largest_error_click`), renders the
+gaussian/euclidean guides, and runs ONE batched model forward for the whole
+case.  Slices that clear the Dice threshold (or run out of error) freeze via
+masked updates, and the loop exits when every slice is done — so the batch
+dimension does real work and the MXU sees batch = slices instead of 1.
+
+Parity with the host loop is exact (tests/test_device_refine.py): the click
+simulator is deterministic, and masked batched iteration visits the same
+(slice, click) trajectory as the host's per-slice loop.  Geodesic guides
+stay on the host path (C++ fast marching).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import numpy as np
+
+_S_BUCKETS = (8, 16, 32, 64, 128, 256)
+
+
+class DeviceRefiner2D:
+    """One-dispatch-per-case interactive 2D refinement.
+
+    Drop-in for the `interactive_eval_2d` call in cli/interactive_eval:
+    `refine_case(images [S,h,w,c], labels [S,h,w])` returns the same
+    {"Dice", "clicks", "slices"} dict.
+    """
+
+    def __init__(self, model, state, *, dice_thresh: float = 0.85,
+                 max_iters: int = 10, stddev: float = 5.0,
+                 guide_kind: str = "gaussian", guide_channel: int = 2):
+        if guide_kind not in ("gaussian", "euclidean"):
+            raise ValueError("device refiner supports gaussian/euclidean "
+                             f"guides, not {guide_kind!r}")
+        self.model = model
+        self.dice_thresh = float(dice_thresh)
+        self.max_iters = int(max_iters)
+        self.stddev = float(stddev)
+        self.guide_kind = guide_kind
+        self.guide_channel = int(guide_channel)
+        variables = {"params": state.params}
+        if getattr(state, "batch_stats", None):
+            variables["batch_stats"] = state.batch_stats
+        self._variables = variables
+
+    @functools.lru_cache(maxsize=None)
+    def _compiled(self, sb: int, h: int, w: int, c: int):
+        import jax
+        import jax.numpy as jnp
+
+        from boxsegliver_tpu.ops.labeling import largest_error_click
+
+        model = self.model
+        t_max = self.max_iters
+        thresh = self.dice_thresh
+        sigma = self.stddev
+        kind = self.guide_kind
+        gc = self.guide_channel
+        iy = jnp.arange(h, dtype=jnp.float32)[:, None]
+        ix = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+        def render(pts, mask):
+            """Max-over-clicks guide maps: pts [S,T,2] i32, mask [S,T] ->
+            [S,h,w] f32 (zeros where no valid clicks — the host render's
+            empty-click convention)."""
+            py = pts[..., 0].astype(jnp.float32)[:, :, None, None]
+            px = pts[..., 1].astype(jnp.float32)[:, :, None, None]
+            d2 = (iy[None, None] - py) ** 2 + (ix[None, None] - px) ** 2
+            m = mask[:, :, None, None]
+            if kind == "gaussian":
+                g = jnp.where(m, jnp.exp(-d2 / (2.0 * sigma ** 2)), 0.0)
+                return g.max(axis=1)
+            dist = jnp.sqrt(jnp.where(m, d2, jnp.inf).min(axis=1))
+            out = jnp.exp(-dist / max(sigma, 1e-6))
+            return jnp.where(mask.any(axis=1)[:, None, None], out, 0.0)
+
+        def run(variables, images, labels):
+            init = (jnp.zeros((sb, h, w), bool),          # pred
+                    jnp.zeros((sb, t_max, 2), jnp.int32),  # pts
+                    jnp.zeros((sb, t_max), bool),          # is_fg
+                    jnp.zeros((sb, t_max), bool),          # valid
+                    jnp.zeros((sb,), bool),                # done
+                    jnp.zeros((sb,), jnp.float32),         # dice
+                    jnp.zeros((sb,), jnp.int32),           # clicks
+                    jnp.int32(0))                          # t
+
+            def cond(s):
+                return (s[-1] < t_max) & jnp.any(~s[4])
+
+            def body(s):
+                pred, pts, isfg, valid, done, dice, clicks, t = s
+                coords, fg, has_err = jax.vmap(largest_error_click)(
+                    pred, labels)
+                clicking = ~done & has_err
+                pts = jax.lax.dynamic_update_slice(
+                    pts, coords[:, None], (0, t, 0))
+                isfg = jax.lax.dynamic_update_slice(
+                    isfg, fg[:, None], (0, t))
+                valid = jax.lax.dynamic_update_slice(
+                    valid, clicking[:, None], (0, t))
+                clicks = clicks + clicking
+                fg_g = render(pts, valid & isfg)
+                bg_g = render(pts, valid & ~isfg)
+                if gc == 2:
+                    guide = jnp.stack([fg_g, bg_g], axis=-1)
+                else:
+                    guide = (fg_g - bg_g)[..., None]
+                logits = model.apply(variables,
+                                     {"images": images, "sp_guide": guide},
+                                     train=False)
+                new_pred = jnp.argmax(logits, axis=-1) > 0
+                tp = jnp.sum(new_pred & labels, axis=(1, 2))
+                fp = jnp.sum(new_pred & ~labels, axis=(1, 2))
+                fn = jnp.sum(~new_pred & labels, axis=(1, 2))
+                denom = (2 * tp + fp + fn).astype(jnp.float32)
+                new_dice = jnp.where(denom > 0,
+                                     2.0 * tp.astype(jnp.float32) / denom,
+                                     0.0)
+                upd = clicking
+                pred = jnp.where(upd[:, None, None], new_pred, pred)
+                dice = jnp.where(upd, new_dice, dice)
+                done = done | ~has_err | (upd & (new_dice > thresh))
+                return (pred, pts, isfg, valid, done, dice, clicks, t + 1)
+
+            out = jax.lax.while_loop(cond, body, init)
+            return out[5], out[6]                          # dice, clicks
+
+        return jax.jit(run)
+
+    def refine_case(self, images: np.ndarray, labels: np.ndarray
+                    ) -> Dict[str, float]:
+        """images [S,h,w,c] f32, labels [S,h,w] (nonzero = lesion)."""
+        import jax
+
+        lab = np.asarray(labels) > 0
+        lesion = lab.any(axis=(1, 2))
+        if not lesion.any():
+            return {"Dice": 1.0, "clicks": 0.0, "slices": 0.0}
+        images = np.asarray(images, np.float32)[lesion]
+        lab = lab[lesion]
+        s, h, w = lab.shape
+        sb = next((b for b in _S_BUCKETS if s <= b), s)
+        if sb > s:
+            images = np.concatenate(
+                [images, np.zeros((sb - s,) + images.shape[1:], np.float32)])
+            lab = np.concatenate([lab, np.zeros((sb - s, h, w), bool)])
+        fn = self._compiled(sb, h, w, images.shape[-1])
+        dice, clicks = fn(self._variables, jax.device_put(images),
+                          jax.device_put(lab))
+        dice = np.asarray(dice)[:s]
+        clicks = np.asarray(clicks)[:s]
+        return {"Dice": float(dice.mean()), "clicks": float(clicks.mean()),
+                "slices": float(s)}

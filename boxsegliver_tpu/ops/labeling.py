@@ -107,6 +107,49 @@ def ordered_seeds(labels: jnp.ndarray, max_objects: int):
     return seeds.astype(jnp.int32), jnp.sum(is_seed).astype(jnp.int32)
 
 
+def largest_error_click(pred: jnp.ndarray, label: jnp.ndarray):
+    """In-graph `interactive.clicks.next_click_from_error` for one 2D slice.
+
+    pred/label: [h, w] bool.  Returns (coords [2] int32, is_fg bool,
+    has_error bool); coords are meaningful only when has_error.  Exactly the
+    host semantics (pinned by tests/test_labeling.py): largest 4-connected
+    error component, eroded (cross, zero border) to its terminal non-empty
+    core, rounded center of mass — falling back to the core's middle raster
+    pixel when the rounded center misses the component.
+    """
+    h, w = pred.shape
+    error = pred ^ label
+    has_error = jnp.any(error)
+    labels = label_components(error)
+    # component sizes: histogram over label values (sentinel bin dropped)
+    sizes = jnp.zeros(h * w + 1, jnp.int32).at[labels.reshape(-1)].add(
+        1, mode="drop")
+    largest = jnp.argmax(sizes[:-1]).astype(jnp.int32)
+    comp = labels == largest
+
+    def erode(m):
+        mp = jnp.pad(m, 1)
+        return (mp[1:-1, 1:-1] & mp[:-2, 1:-1] & mp[2:, 1:-1]
+                & mp[1:-1, :-2] & mp[1:-1, 2:])
+
+    core = jax.lax.while_loop(
+        lambda m: jnp.sum(erode(m)) >= 1, erode, comp)
+    n = jnp.maximum(core.sum(), 1).astype(jnp.float32)
+    iy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    ix = jnp.arange(w, dtype=jnp.float32)[None, :]
+    cf = core.astype(jnp.float32)
+    cy = jnp.round((cf * iy).sum() / n).astype(jnp.int32)
+    cx = jnp.round((cf * ix).sum() / n).astype(jnp.int32)
+    on_comp = comp[jnp.clip(cy, 0, h - 1), jnp.clip(cx, 0, w - 1)]
+    # fallback: middle raster pixel of the core (host: pts[len(pts)//2])
+    cum = jnp.cumsum(core.reshape(-1))
+    mid = jnp.argmax(cum > (core.sum() // 2)).astype(jnp.int32)
+    cy = jnp.where(on_comp, cy, mid // w)
+    cx = jnp.where(on_comp, cx, mid % w)
+    is_fg = label[cy, cx]
+    return jnp.stack([cy, cx]), is_fg, has_error
+
+
 # ---------------------------------------------------------------------------
 # per-object robust moments (median + MAD) from coordinate histograms
 # ---------------------------------------------------------------------------

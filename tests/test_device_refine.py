@@ -1,0 +1,129 @@
+"""In-graph batched interactive refinement (interactive/device_refine.py) vs
+the host per-slice click loop (interactive/refine.interactive_eval_2d):
+identical Dice / click trajectories, plus the in-graph click-placement
+primitive against its host oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from boxsegliver_tpu.interactive.clicks import next_click_from_error
+from boxsegliver_tpu.interactive.device_refine import DeviceRefiner2D
+from boxsegliver_tpu.interactive.refine import interactive_eval_2d
+from boxsegliver_tpu.models import build_model
+from boxsegliver_tpu.ops.labeling import largest_error_click
+from boxsegliver_tpu.train.trainer import TrainState
+
+
+def _blob(h, w, cy, cx, r):
+    yy, xx = np.mgrid[:h, :w]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_largest_error_click_matches_host(seed):
+    rng = np.random.RandomState(seed)
+    h = w = 48
+    lab = _blob(h, w, 14, 30, 7) | _blob(h, w, 34, 12, 4)
+    pred = _blob(h, w, 14, 28, 6) | (rng.rand(h, w) > 0.995)
+    coords_h, fg_h = next_click_from_error(pred.astype(np.uint8),
+                                           lab.astype(np.uint8))
+    coords_d, fg_d, has = jax.jit(largest_error_click)(
+        jnp.asarray(pred), jnp.asarray(lab))
+    assert bool(has)
+    assert tuple(np.asarray(coords_d)) == coords_h
+    assert bool(fg_d) == fg_h
+
+
+def test_largest_error_click_no_error():
+    lab = _blob(32, 32, 16, 16, 5)
+    _, _, has = jax.jit(largest_error_click)(jnp.asarray(lab),
+                                             jnp.asarray(lab))
+    assert not bool(has)
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    """Tiny UNetInter fit on a couple of synthetic blob slices so it
+    responds to guides (a random net ignores them)."""
+    import optax
+    from flax.core import FrozenDict
+
+    rng = np.random.RandomState(3)
+    h = w = 48
+    labs, ims = [], []
+    for i in range(6):
+        lab = _blob(h, w, 10 + 4 * i, 12 + 3 * i, 4 + (i % 3))
+        img = lab * 1.5 + rng.randn(h, w) * 0.35
+        labs.append(lab)
+        ims.append(img)
+    labs = np.asarray(labs)
+    ims = np.asarray(ims, np.float32)[..., None]
+
+    model = build_model("UNetInter", model_kwargs={
+        "init_channels": 4, "num_down_samples": 2}, num_classes=2)
+    feats = {"images": np.zeros((1, h, w, 1), np.float32),
+             "sp_guide": np.zeros((1, h, w, 2), np.float32)}
+    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
+    params = variables["params"]
+
+    from boxsegliver_tpu.interactive.refine import render_click_guide
+    guides = np.zeros((6, h, w, 2), np.float32)
+    for i in range(6):
+        ys, xs = np.where(labs[i])
+        guides[i, ..., 0] = render_click_guide(
+            (h, w), [(int(ys.mean()), int(xs.mean()))], 5.0)
+    batch = {"images": ims, "sp_guide": guides}
+    lab32 = labs.astype(np.int32)
+
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def loss(p):
+            logits = model.apply({"params": p}, batch, train=False)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, lab32).mean()
+        g = jax.grad(loss)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o
+
+    for _ in range(80):
+        params, opt = step(params, opt)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=(), lr_scale=jnp.ones((), jnp.float32))
+    return model, state, ims, labs
+
+
+@pytest.mark.parametrize("guide_kind", ["gaussian", "euclidean"])
+def test_refine_case_matches_host_loop(fitted, guide_kind):
+    model, state, ims, labs = fitted
+    kw = dict(dice_thresh=0.85, max_iters=5, stddev=5.0,
+              guide_kind=guide_kind, guide_channel=2)
+    refiner = DeviceRefiner2D(model, state, **kw)
+
+    def predict(feats):
+        return jax.nn.softmax(
+            model.apply({"params": state.params}, feats, train=False), -1)
+
+    host = interactive_eval_2d(predict, ims, labs.astype(np.uint8), **kw)
+    dev = refiner.refine_case(ims, labs)
+    assert dev["slices"] == host["slices"]
+    np.testing.assert_allclose(dev["clicks"], host["clicks"], atol=1e-6)
+    np.testing.assert_allclose(dev["Dice"], host["Dice"], atol=1e-5)
+
+
+def test_refine_case_no_lesions(fitted):
+    model, state, ims, labs = fitted
+    refiner = DeviceRefiner2D(model, state)
+    res = refiner.refine_case(ims, np.zeros_like(labs))
+    assert res == {"Dice": 1.0, "clicks": 0.0, "slices": 0.0}
+
+
+def test_refine_rejects_geodesic(fitted):
+    model, state, _, _ = fitted
+    with pytest.raises(ValueError):
+        DeviceRefiner2D(model, state, guide_kind="geodesic")
