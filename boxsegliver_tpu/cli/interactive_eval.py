@@ -35,15 +35,44 @@ def build_parser():
     group.add_argument("--tta", action="store_true",
                        help="8-way mirror TTA in the 3D loop")
     group.add_argument("--device_refine", choices=["on", "off"], default="on",
-                       help="2D loop: refine all lesion slices of a case as "
-                            "ONE batched in-graph click loop "
-                            "(interactive/device_refine.py); off = "
-                            "reference-shaped per-slice/per-click host loop")
+                       help="run the whole click loop on device as ONE "
+                            "dispatch per case (interactive/device_refine.py: "
+                            "2D = all lesion slices batched, 3D = whole "
+                            "volume); off = reference-shaped per-click host "
+                            "loop. The 3D cascade channel falls back to "
+                            "the host loop automatically")
     group.add_argument("--task", type=str, default="synthetic",
                        help="dataset pairing (as in cli.main); 'synthetic' "
                             "auto-generates, anything else resolves "
                             "<data_root>/<dataset>")
     return parser
+
+
+def build_refiner(args, model, state):
+    """Route to the device-resident refinement loop (one dispatch per case)
+    or None for the reference-shaped host loop.
+
+    2D: all guide kinds run on device (gaussian/euclidean rendered
+    in-graph; geodesic via ops/geodesic.py).  3D: gaussian loop on device;
+    the cascade variant keeps the host loop (its GT-oracle channel is
+    host-built from the first positive click)."""
+    if getattr(args, "device_refine", "on") != "on":
+        return None
+    if args.dim == 2:
+        from boxsegliver_tpu.interactive.device_refine import DeviceRefiner2D
+        return DeviceRefiner2D(
+            model, state, dice_thresh=args.dice_thresh,
+            max_iters=args.max_iters, stddev=args.guide_stddev,
+            guide_kind=args.guide_kind,
+            guide_channel=int(args.guide_channel))
+    if args.dim == 3 and not getattr(args, "use_cascade", False):
+        from boxsegliver_tpu.interactive.device_refine import DeviceRefiner3D
+        return DeviceRefiner3D(
+            model, state, dice_thresh=args.dice_thresh,
+            max_iters=args.max_iters, stddev=args.guide_stddev,
+            tta=bool(args.tta),
+            guide_channel=int(getattr(args, "guide_channel", 1)))
+    return None
 
 
 def main(argv=None):
@@ -83,15 +112,10 @@ def main(argv=None):
     if args.eval_num > 0:
         eval_metas = eval_metas[:args.eval_num]
 
-    refiner = None
-    if (args.dim == 2 and args.guide_kind in ("gaussian", "euclidean")
-            and getattr(args, "device_refine", "on") == "on"):
-        from boxsegliver_tpu.interactive.device_refine import DeviceRefiner2D
-        refiner = DeviceRefiner2D(
-            trainer.model, trainer.state, dice_thresh=args.dice_thresh,
-            max_iters=args.max_iters, stddev=args.guide_stddev,
-            guide_kind=args.guide_kind,
-            guide_channel=int(args.guide_channel))
+    refiner = build_refiner(args, trainer.model, trainer.state)
+    logger.info("refinement path: %s",
+                type(refiner).__name__ if refiner is not None
+                else "host loop")
 
     all_results = []
     for meta in eval_metas:
@@ -125,15 +149,19 @@ def main(argv=None):
             vol = zscore(vol.astype(np.float32))  # whole-volume (3D conv.)
             pvol, pads = pad_to_multiple(vol[..., None], (2, 16, 16))
             plab = np.pad(lab, [(0, p) for p in pads]) if any(pads) else lab
-            res = interactive_eval_3d(
-                trainer.predict, pvol[..., 0], plab,
-                dice_thresh=args.dice_thresh,
-                max_iters=args.max_iters, stddev=args.guide_stddev,
-                tta=args.tta,
-                use_cascade=bool(getattr(args, "use_cascade", False)),
-                cascade_binary=bool(getattr(args, "cascade_binary", False)),
-                guide_channel=int(getattr(args, "guide_channel", 1)),
-                valid_shape=vol.shape)
+            if refiner is not None:
+                res = refiner.refine_case(pvol[..., 0], plab,
+                                          valid_shape=vol.shape)
+            else:
+                res = interactive_eval_3d(
+                    trainer.predict, pvol[..., 0], plab,
+                    dice_thresh=args.dice_thresh,
+                    max_iters=args.max_iters, stddev=args.guide_stddev,
+                    tta=args.tta,
+                    use_cascade=bool(getattr(args, "use_cascade", False)),
+                    cascade_binary=bool(getattr(args, "cascade_binary", False)),
+                    guide_channel=int(getattr(args, "guide_channel", 1)),
+                    valid_shape=vol.shape)
         logger.info("case %s: Dice=%.3f clicks=%.1f", pid, res["Dice"],
                     res["clicks"])
         all_results.append(res)

@@ -65,6 +65,32 @@ def render_geodesic_guide(image: np.ndarray, clicks: List[Tuple],
     return np.exp(-dist / max(scale, 1e-6)).astype(np.float32)
 
 
+def render_geodesic_eval_guide(image: np.ndarray, clicks: List[Tuple],
+                               lamb: float = 1.0, iterations: int = 4
+                               ) -> np.ndarray:
+    """Raw-distance geodesic guide in the TRAINING convention
+    (data/sampler_inter._geodesic_maps; reference data_processing geodesic
+    branch, input_pipeline_g_simply.py:478-496): fast marching on the
+    2x-downsampled normalized slice, bilinearly upsampled back.  Models
+    trained with --geodesic see this map as their guide channel, so the
+    interactive eval loop must render the same thing.  Empty clicks ->
+    zeros (the pipeline's no-click convention)."""
+    import cv2
+
+    from boxsegliver_tpu.csrc import geodesic_distance
+    h, w = image.shape
+    if not clicks:
+        return np.zeros((h, w), np.float32)
+    ds = np.ascontiguousarray(image[::2, ::2], np.float32)
+    pts = np.asarray(clicks)
+    seeds = np.zeros(ds.shape, np.uint8)
+    ys = np.clip((pts[:, 0] / 2).astype(np.int32), 0, ds.shape[0] - 1)
+    xs = np.clip((pts[:, 1] / 2).astype(np.int32), 0, ds.shape[1] - 1)
+    seeds[ys, xs] = 1
+    dist = geodesic_distance(ds, seeds, lamb, iterations)
+    return cv2.resize(dist, (w, h), interpolation=cv2.INTER_LINEAR)
+
+
 def interactive_eval_2d(predict_fn: Callable, images: np.ndarray,
                         labels: np.ndarray, *, dice_thresh: float = 0.85,
                         max_iters: int = 10, stddev: float = 5.0,
@@ -94,8 +120,13 @@ def interactive_eval_2d(predict_fn: Callable, images: np.ndarray,
                 break
             (fg_clicks if is_fg else bg_clicks).append(coords)
             clicks_used += 1
-            fg_g = render_click_guide(shape, fg_clicks, stddev, guide_kind)
-            bg_g = render_click_guide(shape, bg_clicks, stddev, guide_kind)
+            if guide_kind == "geodesic":
+                center = images[z][..., images.shape[-1] // 2]
+                fg_g = render_geodesic_eval_guide(center, fg_clicks)
+                bg_g = render_geodesic_eval_guide(center, bg_clicks)
+            else:
+                fg_g = render_click_guide(shape, fg_clicks, stddev, guide_kind)
+                bg_g = render_click_guide(shape, bg_clicks, stddev, guide_kind)
             if guide_channel == 2:
                 guide = np.stack([fg_g, bg_g], axis=-1)
             else:

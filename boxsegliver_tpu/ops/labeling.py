@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _MAD_TO_STD = 1.4826  # array_kits._MAD_TO_STD (reference utils/array_kits.py)
 
@@ -51,28 +52,32 @@ def _segmented_min(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sweep(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """One row+column bidirectional propagation pass."""
-    labels = _segmented_min(labels, mask)
-    labels = _segmented_min(labels[..., ::-1], mask[..., ::-1])[..., ::-1]
-    lt, mt = labels.swapaxes(-1, -2), mask.swapaxes(-1, -2)
-    lt = _segmented_min(lt, mt)
-    lt = _segmented_min(lt[..., ::-1], mt[..., ::-1])[..., ::-1]
-    return lt.swapaxes(-1, -2)
+    """One bidirectional propagation pass along EVERY array axis (cross
+    connectivity in any rank)."""
+    for ax in range(labels.ndim):
+        lt = jnp.moveaxis(labels, ax, -1)
+        mt = jnp.moveaxis(mask, ax, -1)
+        lt = _segmented_min(lt, mt)
+        lt = _segmented_min(lt[..., ::-1], mt[..., ::-1])[..., ::-1]
+        labels = jnp.moveaxis(lt, -1, ax)
+    return labels
 
 
 def label_components(mask: jnp.ndarray) -> jnp.ndarray:
-    """4-connectivity connected components of a [h, w] bool mask.
+    """Cross-connectivity (ndi connectivity=1) connected components of a
+    bool mask of ANY rank (2D slices, 3D volumes).
 
-    Returns int32 [h, w]: each foreground pixel carries the linear index
-    (row-major) of its component's first raster pixel; background pixels
-    carry h*w.  Label VALUES therefore sort in the same order `ndi.label`
-    numbers components (first-raster-pixel order) — `ordered_seeds` relies
-    on this.  Min-propagation runs to fixpoint (`lax.while_loop`), so
-    arbitrarily shaped components are exact.
+    Returns int32: each foreground pixel carries the linear index
+    (raster/C order) of its component's first raster pixel; background
+    pixels carry mask.size.  Label VALUES therefore sort in the same order
+    `ndi.label` numbers components (first-raster-pixel order) —
+    `ordered_seeds` relies on this.  Min-propagation runs to fixpoint
+    (`lax.while_loop`), so arbitrarily shaped components are exact.
     """
-    h, w = mask.shape
-    sentinel = jnp.int32(h * w)
-    seeds = jnp.where(mask, jnp.arange(h * w, dtype=jnp.int32).reshape(h, w),
+    size = mask.size
+    sentinel = jnp.int32(size)
+    seeds = jnp.where(mask,
+                      jnp.arange(size, dtype=jnp.int32).reshape(mask.shape),
                       sentinel)
 
     def cond(state):
@@ -108,46 +113,64 @@ def ordered_seeds(labels: jnp.ndarray, max_objects: int):
 
 
 def largest_error_click(pred: jnp.ndarray, label: jnp.ndarray):
-    """In-graph `interactive.clicks.next_click_from_error` for one 2D slice.
+    """In-graph `interactive.clicks.next_click_from_error` for a 2D slice or
+    a 3D volume.
 
-    pred/label: [h, w] bool.  Returns (coords [2] int32, is_fg bool,
+    pred/label: bool, any rank.  Returns (coords [ndim] int32, is_fg bool,
     has_error bool); coords are meaningful only when has_error.  Exactly the
-    host semantics (pinned by tests/test_labeling.py): largest 4-connected
-    error component, eroded (cross, zero border) to its terminal non-empty
-    core, rounded center of mass — falling back to the core's middle raster
-    pixel when the rounded center misses the component.
+    host semantics (pinned by tests/test_labeling.py): largest
+    cross-connected error component, eroded (cross, zero border) to its
+    terminal non-empty core, rounded center of mass — falling back to the
+    core's middle raster pixel when the rounded center misses the component.
     """
-    h, w = pred.shape
+    shape = pred.shape
+    nd = pred.ndim
+    size = pred.size
     error = pred ^ label
     has_error = jnp.any(error)
     labels = label_components(error)
     # component sizes: histogram over label values (sentinel bin dropped)
-    sizes = jnp.zeros(h * w + 1, jnp.int32).at[labels.reshape(-1)].add(
+    sizes = jnp.zeros(size + 1, jnp.int32).at[labels.reshape(-1)].add(
         1, mode="drop")
     largest = jnp.argmax(sizes[:-1]).astype(jnp.int32)
     comp = labels == largest
 
     def erode(m):
         mp = jnp.pad(m, 1)
-        return (mp[1:-1, 1:-1] & mp[:-2, 1:-1] & mp[2:, 1:-1]
-                & mp[1:-1, :-2] & mp[1:-1, 2:])
+        out = mp[(slice(1, -1),) * nd]
+        for ax in range(nd):
+            lo = tuple(slice(0, -2) if a == ax else slice(1, -1)
+                       for a in range(nd))
+            hi = tuple(slice(2, None) if a == ax else slice(1, -1)
+                       for a in range(nd))
+            out = out & mp[lo] & mp[hi]
+        return out
 
     core = jax.lax.while_loop(
         lambda m: jnp.sum(erode(m)) >= 1, erode, comp)
     n = jnp.maximum(core.sum(), 1).astype(jnp.float32)
-    iy = jnp.arange(h, dtype=jnp.float32)[:, None]
-    ix = jnp.arange(w, dtype=jnp.float32)[None, :]
     cf = core.astype(jnp.float32)
-    cy = jnp.round((cf * iy).sum() / n).astype(jnp.int32)
-    cx = jnp.round((cf * ix).sum() / n).astype(jnp.int32)
-    on_comp = comp[jnp.clip(cy, 0, h - 1), jnp.clip(cx, 0, w - 1)]
+    com = []
+    for ax in range(nd):
+        iota = jnp.arange(shape[ax], dtype=jnp.float32).reshape(
+            tuple(shape[ax] if a == ax else 1 for a in range(nd)))
+        com.append(jnp.round((cf * iota).sum() / n).astype(jnp.int32))
+    coords = jnp.stack([jnp.clip(c, 0, shape[a] - 1)
+                        for a, c in enumerate(com)])
+    strides = np.cumprod((shape[1:] + (1,))[::-1])[::-1].astype(np.int32)
+    flat_idx = jnp.sum(coords * jnp.asarray(strides))
+    on_comp = comp.reshape(-1)[flat_idx]
     # fallback: middle raster pixel of the core (host: pts[len(pts)//2])
     cum = jnp.cumsum(core.reshape(-1))
     mid = jnp.argmax(cum > (core.sum() // 2)).astype(jnp.int32)
-    cy = jnp.where(on_comp, cy, mid // w)
-    cx = jnp.where(on_comp, cx, mid % w)
-    is_fg = label[cy, cx]
-    return jnp.stack([cy, cx]), is_fg, has_error
+    mid_coords = []
+    rem = mid
+    for s in strides:
+        mid_coords.append(rem // s)
+        rem = rem % s
+    coords = jnp.where(on_comp, coords, jnp.stack(mid_coords))
+    is_fg = label.reshape(-1)[jnp.sum(coords * jnp.asarray(strides))]
+    return coords, is_fg, has_error
 
 
 # ---------------------------------------------------------------------------
