@@ -14,6 +14,10 @@ import json
 import logging
 from pathlib import Path
 
+from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()  # also makes JAX_PLATFORMS authoritative
+
 logger = logging.getLogger("boxsegliver")
 
 

@@ -27,6 +27,10 @@ from scipy import ndimage as ndi
 from boxsegliver_tpu.ops.metrics import ConfusionMatrix
 from boxsegliver_tpu.ops.metrics3d import metric_3d
 
+from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()  # also makes JAX_PLATFORMS authoritative
+
 logger = logging.getLogger("boxsegliver")
 
 # 8-way mirror axes over [1, d, h, w, c] inputs (reference run_TTA,

@@ -22,6 +22,10 @@ import numpy as np
 from boxsegliver_tpu import config as config_mod
 from boxsegliver_tpu.utils.logger import setup_logger
 
+from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()  # also makes JAX_PLATFORMS authoritative
+
 
 def build_parser():
     parser = config_mod.build_parser()

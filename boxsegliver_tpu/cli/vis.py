@@ -13,6 +13,10 @@ from pathlib import Path
 
 import numpy as np
 
+from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()  # also makes JAX_PLATFORMS authoritative
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)

@@ -374,9 +374,11 @@ def fill_default_args(args, project_root=None):
     return args
 
 
-def build_parser(model_choices=("UNet", "GUNet", "UNetInter", "LGNet", "UNet3D",
-                                "SmallUNet", "InterUNet")):
+def build_parser(model_choices=None):
     """Full composed parser, as each reference entry point assembles it."""
+    if model_choices is None:
+        from boxsegliver_tpu.models import MODEL_ZOO
+        model_choices = tuple(MODEL_ZOO)
     parser = argparse.ArgumentParser(
         description="BoxSegLiver-TPU: guided/interactive medical image "
                     "segmentation, TPU-native")

@@ -19,6 +19,7 @@ from boxsegliver_tpu.models.lgnet import LGNet
 from boxsegliver_tpu.models.small_unet import SmallUNet
 from boxsegliver_tpu.models.inter_unet import InterUNet
 from boxsegliver_tpu.models.unet3d import UNet3D
+from boxsegliver_tpu.models.dense_unet import DenseUNet
 from boxsegliver_tpu.models.layers import predictions_from_logits  # noqa: F401
 
 MODEL_ZOO = {
@@ -29,6 +30,9 @@ MODEL_ZOO = {
     "UNet3D": UNet3D,
     "SmallUNet": SmallUNet,
     "InterUNet": InterUNet,
+    # commented out of the reference zoo (core/models.py:31,37) but shipped
+    # with full code + ImageNet h5 warm start; registered here
+    "DenseUNet": DenseUNet,
 }
 
 _CONFIG_DIR = Path(__file__).parent.parent / "configs" / "models"
@@ -48,6 +52,7 @@ _ARG_FIELDS = {
     "SmallUNet": ("normalizer", "without_norm", "weight_init"),
     "InterUNet": ("normalizer", "without_norm", "img_grad", "weight_init",
                   "im_channel"),
+    "DenseUNet": ("weight_init", "dropout"),
 }
 
 # YAML keys consumed by the runtime rather than the model constructor
@@ -86,7 +91,7 @@ def build_model(model_name: str, args=None, model_kwargs: Optional[Dict] = None,
     for key in _RUNTIME_KEYS:
         kwargs.pop(key, None)
     # YAML lists → hashable tuples for flax dataclass fields
-    for key in ("mod_layers", "context_fc_channels"):
+    for key in ("mod_layers", "context_fc_channels", "nb_layers"):
         if key in kwargs and isinstance(kwargs[key], list):
             if kwargs[key] and isinstance(kwargs[key][0], list):
                 kwargs[key] = tuple(tuple(v) for v in kwargs[key])

@@ -248,6 +248,21 @@ class Trainer:
             self.state = warm_start(self.state, self.args.warm_start_from)
             logger.info("Warm started from %s", self.args.warm_start_from)
         elif step == 0 and getattr(self.args, "load_weights", None):
+            if self.args.load_weights.endswith(".h5"):
+                # DenseNet-161 ImageNet import (reference init_dense_model,
+                # core/models.py:188-221)
+                from boxsegliver_tpu.utils.h5_import import load_densenet161_h5
+                variables = {"params": self.state.params,
+                             "batch_stats": self.state.batch_stats}
+                variables, n = load_densenet161_h5(
+                    variables, self.args.load_weights, log=logger)
+                self.state = self.state.replace(
+                    params=variables["params"],
+                    batch_stats=variables["batch_stats"])
+                logger.info("Imported %d tensors from %s", n,
+                            self.args.load_weights)
+                self._host_step = 0
+                return 0
             path = self._resolve_load_weights(self.args.load_weights)
             scope_map = None
             raw = getattr(self.args, "weights_scope", None)

@@ -18,3 +18,12 @@ def ensure_compile_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    # On hosts with an out-of-tree PJRT plugin (the axon TPU tunnel), the
+    # JAX_PLATFORMS env var alone does not stop the plugin from winning
+    # backend selection — the config flag must be set too (tests/conftest.py
+    # does the same).  Make `JAX_PLATFORMS=cpu python -m boxsegliver_tpu...`
+    # mean what it says.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
