@@ -44,7 +44,12 @@ def read_or_create_k_folds(path, items: Sequence, k_split: Optional[int] = None,
         k_folds = []
         with path.open() as f:
             for line in f:
-                k_folds.append(line[line.find(":") + 1:].strip().split(" "))
+                # .split(" ") on an empty fold yields [''] — filter so a
+                # fold with fewer cases than k parses as empty, not as a
+                # bogus PID (crashes int('') downstream)
+                k_folds.append(
+                    [p for p in line[line.find(":") + 1:].strip().split(" ")
+                     if p])
         return k_folds
 
     if not isinstance(k_split, int) or k_split < 1:

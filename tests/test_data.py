@@ -251,3 +251,13 @@ def test_device_augmentation_determinism(dataset):
     np.testing.assert_array_equal(np.asarray(f1["images"]), np.asarray(f2["images"]))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     assert not np.array_equal(np.asarray(f1["images"]), np.asarray(f3["images"]))
+
+
+def test_kfold_empty_fold_line_parses_empty(tmp_path):
+    """A fold with no cases (k > n_cases) round-trips as an empty list, not
+    [''] (int('') crash in TrainSampler)."""
+    from boxsegliver_tpu.data.kfold import read_or_create_k_folds
+    p = tmp_path / "k_folds.txt"
+    p.write_text("Fold 0:1 2\nFold 1:3\nFold 2:\n")
+    folds = read_or_create_k_folds(p, [])
+    assert folds == [["1", "2"], ["3"], []]
