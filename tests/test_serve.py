@@ -134,3 +134,50 @@ def test_concurrent_requests(server):
     for t in threads:
         t.join()
     assert results == [200, 200, 200, 200]
+
+
+def test_serve_guided_model_multi_input(tmp_path):
+    """A GUNet bundle (images + sp_guide + context) serves through the same
+    REST surface — dict inputs with all three arrays."""
+    root = tmp_path / "synthetic"
+    make_synthetic_dataset(root, n_cases=4, shape=(10, 64, 64), k_split=4)
+    args = get_args([
+        "liver", "--mode", "export", "--tag", "tgserve", "--model", "GUNet",
+        "--model_config", "GUNet_TINY.yml", "--classes", "Liver", "Tumor",
+        "--batch_size", "2", "--im_height", "32", "--im_width", "32",
+        "--im_channel", "3", "--test_fold", "0", "--k_folds", "4",
+        "--use_context", "--context_list", "hist", "20",
+        "--use_spatial",
+        "--model_dir", str(tmp_path / "m"),
+        "--data_root", str(root.parent), "--dataset", root.name])
+    args.num_replicas = 1
+    bundle = export_model(args, root, out_dir=tmp_path / "bundle")
+
+    srv = make_server(bundle, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        rng = np.random.RandomState(0)
+        buf = io.BytesIO()
+        np.savez(buf,
+                 images=rng.rand(3, 32, 32, 3).astype(np.float32),
+                 sp_guide=np.full((3, 32, 32, 1), 0.5, np.float32),
+                 context=rng.rand(3, 20).astype(np.float32))
+        status, raw, ctype = _post(url + "/v1/models/GUNet:predict",
+                                   buf.getvalue(), "application/x-npz")
+        assert status == 200, raw
+        with np.load(io.BytesIO(raw)) as z:
+            preds = z["predictions"]
+        assert preds.shape == (3, 32, 32, 3)
+        np.testing.assert_allclose(preds.sum(-1), 1.0, atol=1e-4)
+
+        # missing input -> 400 naming the expected inputs
+        buf2 = io.BytesIO()
+        np.savez(buf2, images=rng.rand(2, 32, 32, 3).astype(np.float32))
+        status, raw, _ = _post(url + "/v1/models/GUNet:predict",
+                               buf2.getvalue(), "application/x-npz")
+        assert status == 400
+        assert "missing input" in json.loads(raw)["error"]
+    finally:
+        srv.shutdown()
