@@ -450,7 +450,14 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
     # run/run_sp use its one-upload-per-case fast path; run_g (stateful
     # per-slice guide propagation) uses its plain per-batch forward
     from boxsegliver_tpu.evaluators.device_eval import DeviceSlicePredictor
-    predictor = DeviceSlicePredictor(trainer.model, trainer.state, args)
+    eval_mesh = None
+    if getattr(args, "num_replicas", 0) and args.num_replicas > 1:
+        # multi-chip 2D eval: shard the slice-batch axis over the data mesh
+        # (the reference is single-GPU at eval, reference README.md:156)
+        from boxsegliver_tpu.parallel import make_mesh
+        eval_mesh = make_mesh(args.num_replicas)
+    predictor = DeviceSlicePredictor(trainer.model, trainer.state, args,
+                                     mesh=eval_mesh)
     # spatial-guided models: Liver uses the interactive guide-propagation
     # evaluator (reference entry/main_g.py:224-227 run_g); NF uses the fixed
     # sp-point guides (reference NF get_dataset_for_sp_point)

@@ -47,12 +47,26 @@ class DeviceSlicePredictor:
     prefers over the host slice_batches path.  Also callable on a feature
     dict (falling back to a plain jitted forward) so run_g keeps working."""
 
-    def __init__(self, model, state, args):
+    def __init__(self, model, state, args, mesh=None):
+        """mesh: optional 1-D data mesh — shards the slice-batch axis of
+        every eval dispatch across devices (multi-chip 2D eval, a capability
+        the single-GPU-eval reference lacks, reference README.md:156).
+        args.batch_size stays the GLOBAL batch (the reference per-replica
+        contract, utils/distribution_utils.py:107-134)."""
         import jax
 
         self.args = args
         self.pshape = (args.im_height, args.im_width)
         self.bs = int(args.batch_size)
+        self.mesh = mesh if mesh is not None and mesh.size > 1 else None
+        if self.mesh is not None:
+            from boxsegliver_tpu.parallel.mesh import (DATA_AXIS,
+                                                       per_device_batch_size)
+            per_device_batch_size(self.bs, self.mesh.size)  # divisibility
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._repl = NamedSharding(self.mesh, PartitionSpec())
+            self._batch_sharded = NamedSharding(self.mesh,
+                                                PartitionSpec(DATA_AXIS))
         rf = int(getattr(args, "random_flip", 3))
         self.mirrors = [0]
         if getattr(args, "eval_mirror", False):
@@ -65,10 +79,18 @@ class DeviceSlicePredictor:
         variables = {"params": state.params}
         if getattr(state, "batch_stats", None):
             variables["batch_stats"] = state.batch_stats
+        if self.mesh is not None:
+            variables = jax.device_put(variables, self._repl)
         self._variables = variables
         self._model = model
+        jit_kw = {}
+        if self.mesh is not None:
+            # replicate the case upload, shard the probability output on the
+            # batch axis; XLA SPMD partitions the gather + forward to match
+            jit_kw["out_shardings"] = self._batch_sharded
         self._fwd = jax.jit(self._make_fwd(), static_argnames=("c", "with_g",
-                                                               "with_ctx"))
+                                                               "with_ctx"),
+                            **jit_kw)
         self._plain = jax.jit(
             lambda v, feats: jax.nn.softmax(
                 model.apply(v, feats, train=False), axis=-1))
@@ -148,14 +170,16 @@ class DeviceSlicePredictor:
 
         c = case.lhc + case.rhc + 1
         cz = case.depth
-        vol = jax.device_put(self._pad_z(
+        put = (lambda x: jax.device_put(x, self._repl)) \
+            if self.mesh is not None else jax.device_put
+        vol = put(self._pad_z(
             _resize_stack(np.asarray(case.volume), self.pshape)))
         guide = ctx = None
         if sp_guide is not None:
             g = np.asarray(sp_guide, np.float32)
             if g.shape[1:] != tuple(self.pshape):
                 g = _resize_stack(g, self.pshape)
-            guide = jax.device_put(self._pad_z(g))
+            guide = put(self._pad_z(g))
         if context is not None:
             # per-cropped-slice rows, like slice_batches' absolute-z mapping
             z0 = case.crop[0]
@@ -163,7 +187,7 @@ class DeviceSlicePredictor:
             valid = max(0, min(cz, context.shape[0] - z0))
             if valid:
                 rows[:valid] = context[z0:z0 + valid]
-            ctx = jax.device_put(self._pad_z(rows))
+            ctx = put(self._pad_z(rows))
         dummy_g = guide if guide is not None else np.zeros((1, 1, 1),
                                                            np.float32)
         dummy_c = ctx if ctx is not None else np.zeros((1, 1), np.float32)

@@ -110,3 +110,38 @@ def test_device_case_with_guide_and_context(ds):
     predictor = DeviceSlicePredictor(model, state, args)
     out = predictor.device_case(case, context=context, sp_guide=sp_guide)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_device_case_mesh_sharded_matches_single(ds):
+    """Slice-batch axis sharded over an 8-device mesh == single-device
+    result (multi-chip 2D eval; the reference was single-GPU at eval)."""
+    from boxsegliver_tpu.parallel import make_mesh
+
+    args = _args(batch_size=8, eval_mirror=True)
+    metas = load_meta(ds)
+    case = parse_case_eval(metas[0], ds, im_channel=3)
+    model = build_model("UNet", model_kwargs={"init_channels": 4,
+                                              "num_down_samples": 2},
+                        num_classes=3)
+    feats = {"images": np.zeros((8, 64, 64, 3), np.float32)}
+    state, _ = _state(model, feats)
+
+    single = DeviceSlicePredictor(model, state, args)
+    sharded = DeviceSlicePredictor(model, state, args, mesh=make_mesh(8))
+    assert sharded.mesh is not None
+    p1 = single.device_case(case)
+    p8 = sharded.device_case(case)
+    np.testing.assert_allclose(p8, p1, atol=1e-5)
+
+
+def test_mesh_requires_divisible_batch(ds):
+    from boxsegliver_tpu.parallel import make_mesh
+
+    args = _args(batch_size=6)
+    model = build_model("UNet", model_kwargs={"init_channels": 4,
+                                              "num_down_samples": 2},
+                        num_classes=3)
+    feats = {"images": np.zeros((6, 64, 64, 3), np.float32)}
+    state, _ = _state(model, feats)
+    with pytest.raises(ValueError, match="multiple of"):
+        DeviceSlicePredictor(model, state, args, mesh=make_mesh(8))
