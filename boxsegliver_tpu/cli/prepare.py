@@ -3,6 +3,7 @@ menu → explicit subcommands):
 
     python -m boxsegliver_tpu.cli.prepare extract  --src <nifti dir> --dst <cache dir>
     python -m boxsegliver_tpu.cli.prepare hist     --dst <cache dir>
+    python -m boxsegliver_tpu.cli.prepare glcm     --dst <cache dir>
     python -m boxsegliver_tpu.cli.prepare prior    --dst <cache dir>
     python -m boxsegliver_tpu.cli.prepare kfold    --dst <cache dir> --k 5
     python -m boxsegliver_tpu.cli.prepare synthetic --dst <cache dir> [--cases N]
@@ -30,6 +31,10 @@ def main(argv=None):
     p = sub.add_parser("hist", help="Histogram context features")
     p.add_argument("--dst", required=True)
     p.add_argument("--bins", type=int, default=100)
+
+    p = sub.add_parser("glcm", help="GLCM texture context features "
+                       "(reference dump_glcm_feature_for_train/_eval)")
+    p.add_argument("--dst", required=True)
 
     p = sub.add_parser("prior", help="Simulated user prior (prior.json)")
     p.add_argument("--dst", required=True)
@@ -77,6 +82,10 @@ def main(argv=None):
         from boxsegliver_tpu.data.meta import dump_hist_features
         out = dump_hist_features(args.dst, bins=args.bins)
         print(f"Histogram features → {out}")
+    elif args.cmd == "glcm":
+        from boxsegliver_tpu.data.meta import dump_glcm_features
+        out = dump_glcm_features(args.dst)
+        print(f"GLCM features → {out}")
     elif args.cmd == "prior":
         from boxsegliver_tpu.data.meta import load_meta, simulate_user_prior
         metas = load_meta(args.dst)

@@ -261,3 +261,19 @@ def test_kfold_empty_fold_line_parses_empty(tmp_path):
     p.write_text("Fold 0:1 2\nFold 1:3\nFold 2:\n")
     folds = read_or_create_k_folds(p, [])
     assert folds == [["1", "2"], ["3"], []]
+
+
+def test_prepare_glcm_subcommand(tmp_path, capsys):
+    """`prepare glcm` dumps feat/glcm/{train,eval}/<PID>.npy (reference
+    extract.py GLCM menu entries)."""
+    from boxsegliver_tpu.cli import prepare
+    from boxsegliver_tpu.data.synthetic import make_synthetic_dataset
+    root = tmp_path / "ds"
+    make_synthetic_dataset(root, n_cases=2, shape=(8, 48, 48), k_split=2)
+    prepare.main(["glcm", "--dst", str(root)])
+    for mode in ("train", "eval"):
+        files = sorted((root / "feat" / "glcm" / mode).glob("*.npy"))
+        assert len(files) == 2
+        import numpy as np
+        feats = np.load(files[0])
+        assert feats.shape[-1] == 96  # 8 props x 12 distance/angle combos
