@@ -67,6 +67,8 @@ class ModelRunner:
             elif arr.shape[0] != batch:
                 raise ValueError("inconsistent batch across inputs")
             feats[key] = arr
+        if batch == 0:
+            raise ValueError("empty batch (0 instances)")
         extra = set(features) - set(self.inputs)
         if extra:
             raise ValueError(f"unknown inputs {sorted(extra)}; expected "
@@ -86,7 +88,7 @@ class ModelRunner:
             with self._lock:
                 probs = np.asarray(self.serve(chunk))
             outs.append(probs[:n])
-        return np.concatenate(outs) if outs else np.empty((0,))
+        return np.concatenate(outs)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -130,10 +132,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(404, f"unknown path {self.path}")
 
     def do_POST(self):
-        if self.path != self._model_path(":predict"):
-            return self._error(404, f"unknown path {self.path}")
+        # drain the body BEFORE any routing: under HTTP/1.1 keep-alive an
+        # unread body would be parsed as the next request line, desyncing
+        # the connection
         length = int(self.headers.get("Content-Length", 0))
         body = self.rfile.read(length)
+        if "chunked" in self.headers.get("Transfer-Encoding", "").lower():
+            self.close_connection = True
+            return self._error(411, "chunked bodies unsupported; send "
+                                    "Content-Length")
+        if self.path != self._model_path(":predict"):
+            return self._error(404, f"unknown path {self.path}")
         ctype = self.headers.get("Content-Type", "application/json")
         try:
             if "x-npz" in ctype or "octet-stream" in ctype:

@@ -99,6 +99,11 @@ class DenseUNet(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
+        if len(self.nb_layers) != 4:
+            raise ValueError(
+                "DenseUNet's decoder is fixed at 4 dense blocks / 5 skip "
+                f"levels (reference DenseUNet.py:96-118); got nb_layers="
+                f"{self.nb_layers}")
         x = inputs["images"] if isinstance(inputs, dict) else inputs
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -144,8 +149,9 @@ class DenseUNet(nn.Module):
 
         x = _upsample2x(x)
         x = self._decoder_conv(64, 3, "conv_up4")(x)
-        if self.dropout:
-            x = nn.Dropout(rate=0.3, deterministic=not train)(x)
+        # unconditional keep_prob=0.7 on the last decoder features — a fixed
+        # rate independent of --dropout, like the reference (DenseUNet.py:116)
+        x = nn.Dropout(rate=0.3, deterministic=not train)(x)
         x = self._bn(x, "bn_up4", train, eps=1e-3)
 
         logits = self._decoder_conv(self.num_classes, 1, "AdjustChannels")(x)

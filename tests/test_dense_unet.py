@@ -170,3 +170,11 @@ def test_trainer_h5_warm_start(tmp_path):
             np.asarray(jax.device_get(tr.state.params["conv1"]["kernel"])),
             np.asarray(f["conv1"]["conv1_W"]).astype(np.float32))
     tr.ckpt.close()
+
+
+def test_bad_nb_layers_length_raises():
+    model = DenseUNet(num_classes=3, stem_channels=8, growth_rate=4,
+                      nb_layers=(2, 2, 2))
+    with pytest.raises(ValueError, match="4 dense blocks"):
+        model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)

@@ -181,3 +181,34 @@ def test_serve_guided_model_multi_input(tmp_path):
         assert "missing input" in json.loads(raw)["error"]
     finally:
         srv.shutdown()
+
+
+def test_keepalive_connection_survives_404_with_body(server):
+    """A POST body to a wrong path must be drained, not left to desync the
+    next request on a reused HTTP/1.1 connection."""
+    import http.client
+    host = server.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=30)
+    try:
+        body = json.dumps({"inputs": {"images": [[0.0]]}}).encode()
+        conn.request("POST", "/v1/models/Wrong:predict", body=body,
+                     headers={"Content-Type": "application/json"})
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        # second request on the SAME connection must parse cleanly
+        conn.request("GET", "/healthz")
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert r2.read() == b"ok"
+    finally:
+        conn.close()
+
+
+def test_empty_batch_400(server):
+    buf = io.BytesIO()
+    np.savez(buf, images=np.zeros((0, 32, 32, 3), np.float32))
+    status, raw, _ = _post(server + "/v1/models/UNet:predict",
+                           buf.getvalue(), "application/x-npz")
+    assert status == 400
+    assert "empty batch" in json.loads(raw)["error"]

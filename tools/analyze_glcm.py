@@ -14,12 +14,9 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import sys
 from pathlib import Path
 
 import numpy as np
-
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 PROPS = ["contrast", "dissimilarity", "homogeneity", "energy", "entropy",
          "correlation", "cluster_shade", "cluster_prominence"]
