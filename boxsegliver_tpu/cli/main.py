@@ -26,7 +26,7 @@ from boxsegliver_tpu.utils.logger import setup_logger
 
 ensure_compile_cache()  # before any (lazy) jax import
 
-TASKS = ("liver", "only_liver", "tumor", "nf", "nf_inter", "nf_3d",
+TASKS = ("liver", "only_liver", "tumor", "nf", "nf2", "nf_inter", "nf_3d",
          "synthetic")
 
 
@@ -48,7 +48,8 @@ def get_args(argv=None):
             parser.error("task nf_3d requires --model UNet3D")
     if args.dataset == "synthetic" and task != "synthetic":
         args.dataset = {"liver": "LiTS", "only_liver": "LiTS", "tumor": "LiTS",
-                        "nf": "NF", "nf_inter": "NF", "nf_3d": "NF"}[task]
+                        "nf": "NF", "nf2": "NF", "nf_inter": "NF",
+                        "nf_3d": "NF"}[task]
     return args
 
 
@@ -71,6 +72,12 @@ def is_3d(args) -> bool:
 
 def is_inter(args) -> bool:
     return getattr(args, "task", "") == "nf_inter"
+
+
+def is_iin(args) -> bool:
+    """nf2: click-instance training + per-lesion patch eval (reference
+    entry/main_g.py:64-66 nf2 → DataLoader/NF/input_pipeline_iin.py)."""
+    return getattr(args, "task", "") == "nf2"
 
 
 def build_feature_template(args):
@@ -101,9 +108,16 @@ def build_feature_template(args):
         feats["sp_guide"] = np.full(
             (args.batch_size, args.im_height, args.im_width, 1), 0.5, np.float32)
     if getattr(args, "use_context", False):
-        raw = args.context_list or ["hist", "200"]
-        length = sum(int(raw[i + 1]) for i in range(0, len(raw), 2))
-        feats["context"] = np.zeros((args.batch_size, length), np.float32)
+        if is_iin(args):
+            # nf2 image-patch pyramid context (sampler_iin.extract_ct_pyramid)
+            from boxsegliver_tpu.data.sampler_iin import CT_PATCH, ct_sizes
+            n_scales = len(ct_sizes(getattr(args, "ct_base", [32])))
+            feats["context"] = np.zeros(
+                (args.batch_size, CT_PATCH, CT_PATCH, n_scales), np.float32)
+        else:
+            raw = args.context_list or ["hist", "200"]
+            length = sum(int(raw[i + 1]) for i in range(0, len(raw), 2))
+            feats["context"] = np.zeros((args.batch_size, length), np.float32)
     return feats
 
 
@@ -194,6 +208,10 @@ def build_trainer(args, dataset_dir, fuse_preprocess=False, cache=None):
             from boxsegliver_tpu.data.pipeline_inter import \
                 make_inter_preprocess_fn
             preprocess_fn = make_inter_preprocess_fn(args, train=True)
+        elif is_iin(args):
+            from boxsegliver_tpu.data.pipeline_iin import \
+                make_iin_preprocess_fn
+            preprocess_fn = make_iin_preprocess_fn(args, train=True)
         else:
             from boxsegliver_tpu.data.pipeline import make_preprocess_fn
             preprocess_fn = make_preprocess_fn(args, cache=cache)
@@ -211,12 +229,12 @@ def main(argv=None):
     dataset_dir = resolve_dataset_dir(args)
 
     if args.mode == "train":
-        train(args, dataset_dir, logger)
+        return train(args, dataset_dir, logger)
     elif args.mode in ("eval", "infer"):
-        evaluate(args, dataset_dir, logger, do_eval=args.mode == "eval")
+        return evaluate(args, dataset_dir, logger, do_eval=args.mode == "eval")
     elif args.mode == "export":
         from boxsegliver_tpu.cli.export import export_model
-        export_model(args, dataset_dir)
+        return export_model(args, dataset_dir)
     else:
         raise SystemExit(f"Unsupported mode {args.mode}")
 
@@ -271,6 +289,9 @@ def train(args, dataset_dir, logger):
         from boxsegliver_tpu.data.sampler_inter import InterSampler
         sampler = InterSampler(dataset_dir, args, mode="train", seed=args.seed,
                                max_clicks=args.max_clicks)
+    elif is_iin(args):
+        from boxsegliver_tpu.data.sampler_iin import IinSampler
+        sampler = IinSampler(dataset_dir, args, mode="train", seed=args.seed)
     else:
         sampler = TrainSampler(dataset_dir, args, mode="train", seed=args.seed,
                                zbase=cache.zbase if cache else None)
@@ -329,6 +350,14 @@ def _make_online_eval(args, dataset_dir, num_batches: int = 0):
         sampler = InterSampler(dataset_dir, args, mode="eval",
                                max_clicks=args.max_clicks)
         process_fn = make_inter_preprocess_fn(args, train=False)
+    elif is_iin(args):
+        # reference get_dataset_for_eval_online: the train generator with
+        # tumor_percent=0 and spatial_random=1 (input_pipeline_iin.py:658-672)
+        from boxsegliver_tpu.data.pipeline_iin import make_iin_preprocess_fn
+        from boxsegliver_tpu.data.sampler_iin import IinSampler
+        sampler = IinSampler(dataset_dir, args, mode="eval",
+                             tumor_percent=0.0, spatial_random=1.0)
+        process_fn = make_iin_preprocess_fn(args, train=False)
     else:
         import functools
 
@@ -458,6 +487,13 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
         eval_mesh = make_mesh(args.num_replicas)
     predictor = DeviceSlicePredictor(trainer.model, trainer.state, args,
                                      mesh=eval_mesh)
+    if is_iin(args):
+        # nf2 per-lesion patch eval (reference evaluator_nf._predict_case_v2)
+        results = evaluator.run_patch(trainer.predict, eval_metas,
+                                      save=args.save_predict or not do_eval,
+                                      do_eval=do_eval)
+        trainer.ckpt.close()
+        return results
     # spatial-guided models: Liver uses the interactive guide-propagation
     # evaluator (reference entry/main_g.py:224-227 run_g); NF uses the fixed
     # sp-point guides (reference NF get_dataset_for_sp_point)

@@ -257,6 +257,10 @@ def add_pipeline_arguments(parser: argparse.ArgumentParser):
                        help="Base Gaussian stddev of sp-point eval guides "
                             "(reference NF/input_pipeline_g.py:788)")
     group.add_argument("--real_sp", type=str, help="Path to real spatial guide")
+    group.add_argument("--ct_base", type=int, nargs="+", default=[32],
+                       help="nf2/iin context patch sizes: one value s -> "
+                            "pyramid (s, 2s, 4s), or three explicit sizes "
+                            "(reference input_pipeline_iin.py:98)")
     group.add_argument("--device_sweep", choices=["on", "off"], default="on",
                        help="Run the interactive guide-propagation eval "
                             "(run_g) as one in-graph double sweep per case "

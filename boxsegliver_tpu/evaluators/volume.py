@@ -387,6 +387,47 @@ class EvaluateVolume(EvaluateBase):
                               do_eval, n, t0)
         return self._finish_run(accumulator, n)
 
+    def run_patch(self, predict_fn: Callable, case_metas: Iterable[Dict],
+                  save: bool = False, save_path=None, do_eval: bool = True
+                  ) -> Dict[str, float]:
+        """nf2/iin per-lesion patch evaluation (reference evaluator_nf.run
+        with the nf2 pipeline → _predict_case_v2, evaluator_nf.py:336-575):
+        every lesion's expanded-bbox patch is predicted (with mirror TTA) and
+        max/min-merged into a full-frame volume whose background starts at 1
+        — so unvisited voxels stay background."""
+        from boxsegliver_tpu.evaluators.iin_eval import (IinPatchLoader,
+                                                         merge_patch_probs,
+                                                         predict_batch_tta)
+
+        args = self.args
+        self.clear_metrics()
+        accumulator: Dict[str, int] = defaultdict(int)
+        n = 0
+        skip = getattr(args, "eval_skip_num", 0)
+        limit = getattr(args, "eval_num", -1)
+        nc = len(self.classes) + 1
+        for meta in list(case_metas)[skip:]:
+            if 0 < limit <= n:
+                break
+            t0 = time.time()
+            loader = IinPatchLoader(meta, self.dataset_dir, args)
+            d, h, w = loader.volume.shape
+            logits3d = np.zeros((d, h, w, nc), np.float32)
+            logits3d[..., 0] = 1.0  # evaluator_nf.py:541-542
+            for batch in loader.batches(args.batch_size):
+                probs = predict_batch_tta(predict_fn, batch, self.mirror_div,
+                                          getattr(args, "random_flip", 3))
+                merge_patch_probs(logits3d, probs, batch["sid"], batch["bb"],
+                                  batch["pads"])
+            case = EvalCase(pid=int(meta["PID"]), volume=None,
+                            segmentation=loader.lab3d, crop=(0, d, 0, h, 0, w),
+                            oshape=(d, h, w),
+                            spacing=tuple(meta["spacing"]), lhc=0, rhc=0)
+            n += 1
+            self._finish_case(case, logits3d, accumulator, save, save_path,
+                              do_eval, n, t0)
+        return self._finish_run(accumulator, n)
+
     def _finish_case(self, case: EvalCase, probs: np.ndarray, accumulator,
                      save: bool, save_path, do_eval: bool, n: int,
                      t0: float) -> Dict[str, float]:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from boxsegliver_tpu.models.layers import (MLP, VGG1D, ChannelAffine,
-                                           ConvNormAct, Norm, UpConv,
+                                           ConvNormAct, Norm, PatchCNN, UpConv,
                                            get_kernel_init, he_normal,
                                            image_gradients)
 from boxsegliver_tpu.models.packed import (PackedChannelAffine, PackedConv,
@@ -95,6 +95,16 @@ class GUNet(nn.Module):
                     channels, use_dropout=self.side_dropout > 0,
                     keep_prob=1.0 - self.side_dropout, dtype=self.dtype,
                     name="context")(context[..., None], train=train)
+            elif self.context_model == "conv":
+                # nf2/iin image-patch pyramid context [bs, 32, 32, n_scales]
+                # (reference input_pipeline_iin.py ct_coord/crop_and_resize;
+                # the reference never shipped a rank-4 context model — this
+                # is the working consumer, see layers.PatchCNN)
+                context_params = PatchCNN(
+                    self.context_conv_init_channels, channels,
+                    use_dropout=self.side_dropout > 0,
+                    keep_prob=1.0 - self.side_dropout, dtype=self.dtype,
+                    name="context")(context, train=train)
             else:
                 raise ValueError("Not supported context model")
 

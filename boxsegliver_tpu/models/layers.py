@@ -234,6 +234,35 @@ class VGG1D(nn.Module):
                    dtype=self.dtype)(x, train=train)
 
 
+class PatchCNN(nn.Module):
+    """2-D conv encoder over multi-scale image-patch context pyramids
+    [bs, 32, 32, n_scales] — the working consumer for the nf2/iin pipeline's
+    patch context (reference DataLoader/NF/input_pipeline_iin.py builds the
+    [32, 32, 3] pyramids but the reference model zoo never shipped a rank-4
+    context model: GUNet's choices are fc / 1-D vgg / resnet-NotImplemented,
+    NetworksV2/GUNet.py:50-78).  Three conv-conv-pool stages (32 -> 4) then
+    global average pooling and the same final MLP convention as the fc path
+    (he_normal final init, GUNet.py:57-58)."""
+    first_layer_channel: int
+    out_channels: Sequence[int]
+    use_dropout: bool = False
+    keep_prob: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for mult in (1, 2, 4):
+            for _ in range(2):
+                x = nn.Conv(self.first_layer_channel * mult, (3, 3),
+                            padding="SAME", dtype=self.dtype)(x)
+                x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+        x = jnp.mean(x, axis=(1, 2))
+        return MLP(self.out_channels, self.use_dropout, self.keep_prob,
+                   final_kernel_init=he_normal(),
+                   dtype=self.dtype)(x, train=train)
+
+
 def image_gradients(images: jnp.ndarray):
     """tf.image.image_gradients semantics for NHWC batches: dy[i]=x[i+1]-x[i]
     with a zero last row; dx analogous (used for --img_grad inputs)."""
