@@ -488,8 +488,24 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
     predictor = DeviceSlicePredictor(trainer.model, trainer.state, args,
                                      mesh=eval_mesh)
     if is_iin(args):
-        # nf2 per-lesion patch eval (reference evaluator_nf._predict_case_v2)
-        results = evaluator.run_patch(trainer.predict, eval_metas,
+        from boxsegliver_tpu.evaluators.iin_eval import (
+            make_patch_predict_tta, run_patch_infer)
+        if not do_eval and getattr(args, "case_id", None) is not None:
+            # single user-position patch inference -> npz (reference
+            # evaluator_nf._infer_patch; needs --case_id --pos)
+            if not getattr(args, "pos", None):
+                raise SystemExit("nf2 --mode infer needs --pos z y x")
+            meta = {int(m["PID"]): m for m in metas}[int(args.case_id)]
+            out = run_patch_infer(trainer.predict, meta, dataset_dir, args)
+            trainer.ckpt.close()
+            return {"infer_path": str(out)}
+        # nf2 per-lesion patch eval (reference evaluator_nf._predict_case_v2);
+        # mirror TTA runs in-graph as one dispatch per batch
+        predict = trainer.predict
+        if getattr(args, "eval_mirror", False):
+            predict = make_patch_predict_tta(trainer.model, trainer.state,
+                                             int(args.random_flip))
+        results = evaluator.run_patch(predict, eval_metas,
                                       save=args.save_predict or not do_eval,
                                       do_eval=do_eval)
         trainer.ckpt.close()

@@ -261,6 +261,12 @@ def add_pipeline_arguments(parser: argparse.ArgumentParser):
                        help="nf2/iin context patch sizes: one value s -> "
                             "pyramid (s, 2s, 4s), or three explicit sizes "
                             "(reference input_pipeline_iin.py:98)")
+    group.add_argument("--case_id", type=int,
+                       help="nf2 --mode infer: case PID for the single-patch "
+                            "inference (reference input_pipeline_iin.py:96)")
+    group.add_argument("--pos", type=int, nargs=3,
+                       help="nf2 --mode infer: (slice, y, x) click position "
+                            "(reference input_pipeline_iin.py:97)")
     group.add_argument("--device_sweep", choices=["on", "off"], default="on",
                        help="Run the interactive guide-propagation eval "
                             "(run_g) as one in-graph double sweep per case "

@@ -39,7 +39,8 @@ from boxsegliver_tpu.ops import array_kits
 
 logger = logging.getLogger("boxsegliver")
 
-NF_EVAL_CLIP = 600.0  # raw gray units (reference input_pipeline_iin.py:809)
+NF_EVAL_CLIP = 600.0   # raw gray units (reference input_pipeline_iin.py:809)
+NF_INFER_CLIP = 850.0  # the infer path uses a THIRD window (reference :929)
 _DISC2 = ndi.generate_binary_structure(2, 2)
 _DISC3 = ndi.generate_binary_structure(3, 2)
 
@@ -238,7 +239,51 @@ class IinPatchLoader:
             yield buf
 
 
-_FLIPS = {1: 2, 2: 1}
+def mirror_axes(random_flip: int) -> List[tuple]:
+    """TTA flip-axes variants for a --random_flip bitmask (NHWC batches)."""
+    variants = []
+    if random_flip & 1:
+        variants.append((2,))
+    if random_flip & 2:
+        variants.append((1,))
+    if random_flip & 3 == 3:
+        variants.append((1, 2))
+    return variants
+
+
+def make_patch_predict_tta(model, state, random_flip: int):
+    """Jitted mirror-TTA patch forward: all flip variants averaged in ONE
+    dispatch (the host loop in predict_batch_tta pays one tunnel round trip
+    per mirror; this is the device-resident twin, exact same math)."""
+    import jax
+    import jax.numpy as jnp
+
+    variants = [()] + mirror_axes(random_flip)
+    div = float(len(variants))
+
+    def fwd(feats):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return jax.nn.softmax(model.apply(variables, feats, train=False), -1)
+
+    @jax.jit
+    def run(feats):
+        acc = None
+        for axes in variants:
+            f = dict(feats)
+            if axes:
+                f["images"] = jnp.flip(feats["images"], axis=axes)
+                if "sp_guide" in f:
+                    f["sp_guide"] = jnp.flip(feats["sp_guide"], axis=axes)
+            p = fwd(f)
+            if axes:
+                p = jnp.flip(p, axis=axes)
+            acc = p / div if acc is None else acc + p / div
+        return acc
+
+    run.in_graph_tta = True
+    return run
 
 
 def predict_batch_tta(predict_fn: Callable, batch: Dict[str, np.ndarray],
@@ -248,6 +293,9 @@ def predict_batch_tta(predict_fn: Callable, batch: Dict[str, np.ndarray],
     input_pipeline_iin.py:966-990 / evaluator_nf.py:529-536)."""
     feats = {k: batch[k] for k in ("images", "sp_guide", "context")
              if k in batch}
+    if getattr(predict_fn, "in_graph_tta", False):
+        # device-resident TTA (make_patch_predict_tta): one dispatch total
+        return np.asarray(predict_fn(feats), np.float32)
     probs = np.asarray(predict_fn(feats), np.float32) / mirror_div
     if mirror_div > 1:
         variants = []
@@ -265,6 +313,81 @@ def predict_batch_tta(predict_fn: Callable, batch: Dict[str, np.ndarray],
             out = np.asarray(predict_fn(f), np.float32)
             probs += np.flip(out, axis=axes) / mirror_div
     return probs
+
+
+def infer_patch_features(meta: Dict, dataset_dir, args,
+                         pos: Tuple[int, int, int]) -> Dict[str, np.ndarray]:
+    """Single user-position patch (reference get_image_patch,
+    input_pipeline_iin.py:867-963): bbox = target//2 around (y, x) with the
+    min-size center clamp, guide at the click, context pyramid, bs=1.
+    Note the reference's infer window is clip(0, 850) — a third window,
+    distinct from train (500-700) and eval (600)."""
+    import cv2
+
+    vols = CaseVolumes(Path(dataset_dir))
+    pid = int(meta["PID"])
+    volume = np.asarray(vols.volume(pid))
+    d, h, w = volume.shape
+    si, y, x = [int(v) for v in pos]
+    th, tw = args.im_height, args.im_width
+    expand = th // 2
+    bb = (max(y - expand, 0), max(x - expand, 0),
+          min(y + expand, h), min(x + expand, w))
+    y1, x1, y2, x2 = expand_bbox(bb, (h, w), (th, tw), expand=0)
+    cy, cx = y2 - y1, x2 - x1
+    lh = (args.im_channel - 1) // 2
+    stack = np.zeros((cy, cx, args.im_channel), np.float32)
+    for k in range(args.im_channel):
+        z = si - lh + k
+        if 0 <= z < d:
+            stack[..., k] = volume[z, y1:y2, x1:x2]
+    if getattr(args, "zscore", False):
+        img = (stack - stack.mean()) / (stack.std() + 1e-8)
+    else:
+        hi = NF_INFER_CLIP * IM_SCALE
+        img = np.clip(stack, 0.0, hi) / hi
+
+    centers = np.array([[y - y1, x - x1]], np.float32)
+    feats: Dict[str, np.ndarray] = {"bb": np.array([[y1, x1, y2, x2]],
+                                                   np.int32)}
+    if getattr(args, "use_spatial", False):
+        stds = np.full(centers.shape, float(args.guide_scale), np.float32)
+        sp = array_kits.create_gaussian_distribution_v2((cy, cx), centers,
+                                                        stds)
+        if (cy, cx) != (th, tw):
+            sp = cv2.resize(sp, (tw, th), interpolation=cv2.INTER_LINEAR)
+        feats["sp_guide"] = sp[None, :, :, None].astype(np.float32)
+    if getattr(args, "use_context", False):
+        feats["context"] = _context_pyramid(
+            img, centers, ct_sizes(getattr(args, "ct_base", [32])),
+            args.im_channel)[None]
+    if (cy, cx) != (th, tw):
+        img = cv2.resize(img, (tw, th), interpolation=cv2.INTER_LINEAR)
+    feats["images"] = img[None].astype(np.float32)
+    return feats
+
+
+def run_patch_infer(predict_fn: Callable, meta: Dict, dataset_dir, args
+                    ) -> Path:
+    """Infer one patch at --pos of --case_id and dump the npz the reference
+    writes (evaluator_nf._infer_patch, evaluator_nf.py:421-468)."""
+    feats = infer_patch_features(meta, dataset_dir, args,
+                                 tuple(args.pos))
+    model_in = {k: v for k, v in feats.items() if k != "bb"}
+    prob = np.asarray(predict_fn(model_in), np.float32)
+    save_path = Path(args.model_dir) / "infer"
+    save_path.mkdir(parents=True, exist_ok=True)
+    save_dict = {"prob": prob[0], "img": feats["images"][0],
+                 "bb": feats["bb"][0]}
+    if "context" in feats:
+        save_dict["ct"] = feats["context"][0]
+    if "sp_guide" in feats:
+        save_dict["sp"] = feats["sp_guide"][0]
+    out = save_path / ("infer-volume-{}-Pos-{}-{}-{}.npz".format(
+        int(meta["PID"]), *args.pos))
+    np.savez_compressed(out, **save_dict)
+    logger.info("Write to %s", out)
+    return out
 
 
 def merge_patch_probs(logits3d: np.ndarray, probs: np.ndarray,

@@ -360,6 +360,76 @@ def test_patch_loader_and_run_patch(nf_root):
     assert results["GNFDice"] > 0.0
 
 
+def test_patch_tta_in_graph_matches_host(nf_root):
+    """make_patch_predict_tta == the host mirror loop, exactly (CPU f32)."""
+    import jax
+    import jax.numpy as jnp
+    from flax.core import FrozenDict
+
+    from boxsegliver_tpu.data.meta import load_meta
+    from boxsegliver_tpu.evaluators.iin_eval import (IinPatchLoader,
+                                                     make_patch_predict_tta,
+                                                     predict_batch_tta)
+    from boxsegliver_tpu.models import build_model, get_model_params
+    from boxsegliver_tpu.train.trainer import TrainState, make_eval_step
+
+    args = iin_args()
+    args.eval_mirror = True
+    args.random_flip = 3
+    params = get_model_params(args)
+    model = build_model("GUNet", args=args,
+                        model_kwargs=params["model_kwargs"], num_classes=2)
+    feats0 = {"images": jnp.zeros((4, 64, 64, 3)),
+              "sp_guide": jnp.zeros((4, 64, 64, 1)),
+              "context": jnp.zeros((4, 32, 32, 3))}
+    variables = model.init(jax.random.PRNGKey(1), feats0, train=False)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=(), lr_scale=jnp.ones((), jnp.float32))
+    eval_step = jax.jit(make_eval_step(model))
+    host_fn = lambda f: eval_step(state, f)
+    dev_fn = make_patch_predict_tta(model, state, 3)
+
+    metas = load_meta(nf_root)
+    loader = IinPatchLoader(metas[0], nf_root, args)
+    batch = next(iter(loader.batches(4)))
+    host = predict_batch_tta(host_fn, batch, mirror_div=4, random_flip=3)
+    dev = predict_batch_tta(dev_fn, batch, mirror_div=4, random_flip=3)
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def test_infer_patch_features_and_dump(nf_root, tmp_path):
+    from boxsegliver_tpu.data.meta import load_meta
+    from boxsegliver_tpu.evaluators.iin_eval import (infer_patch_features,
+                                                     run_patch_infer)
+
+    args = iin_args()
+    args.zscore = False  # exercise the reference's 850 infer window
+    args.model_dir = str(tmp_path)
+    meta = load_meta(nf_root)[0]
+    d, h, w = meta["size"]
+    args.pos = [d // 2, h // 2, w // 2]
+    feats = infer_patch_features(meta, nf_root, args, tuple(args.pos))
+    assert feats["images"].shape == (1, 64, 64, 3)
+    assert feats["images"].min() >= 0.0 and feats["images"].max() <= 1.0
+    assert feats["sp_guide"].shape == (1, 64, 64, 1)
+    assert feats["context"].shape == (1, 32, 32, 3)
+    y1, x1, y2, x2 = feats["bb"][0]
+    assert (y2 - y1, x2 - x1) == (64, 64)  # min-size clamp at target
+
+    def fake_predict(f):
+        fg = np.asarray(f["sp_guide"])
+        return np.concatenate([1 - fg, fg], axis=-1)
+
+    out = run_patch_infer(fake_predict, meta, nf_root, args)
+    assert out.exists() and out.name.startswith(
+        f"infer-volume-{int(meta['PID'])}-Pos-")
+    data = np.load(out)
+    assert set(data.files) >= {"prob", "img", "bb", "ct", "sp"}
+    assert data["prob"].shape == (64, 64, 2)
+
+
 def test_cli_nf2_train_and_eval(nf_root, tmp_path):
     """Product CLI end-to-end: 2 fused train steps then the patch eval."""
     from boxsegliver_tpu.cli import main as cli_main
