@@ -475,18 +475,6 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
 
     evaluator = EvaluateVolume(args, dataset_dir,
                                ["Background"] + list(args.classes))
-    # device-resident whole-case predictor (evaluators/device_eval.py):
-    # run/run_sp use its one-upload-per-case fast path; run_g (stateful
-    # per-slice guide propagation) uses its plain per-batch forward
-    from boxsegliver_tpu.evaluators.device_eval import DeviceSlicePredictor
-    eval_mesh = None
-    if getattr(args, "num_replicas", 0) and args.num_replicas > 1:
-        # multi-chip 2D eval: shard the slice-batch axis over the data mesh
-        # (the reference is single-GPU at eval, reference README.md:156)
-        from boxsegliver_tpu.parallel import make_mesh
-        eval_mesh = make_mesh(args.num_replicas)
-    predictor = DeviceSlicePredictor(trainer.model, trainer.state, args,
-                                     mesh=eval_mesh)
     if is_iin(args):
         from boxsegliver_tpu.evaluators.iin_eval import (
             make_patch_predict_tta, run_patch_infer)
@@ -510,6 +498,18 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
                                       do_eval=do_eval)
         trainer.ckpt.close()
         return results
+    # device-resident whole-case predictor (evaluators/device_eval.py):
+    # run/run_sp use its one-upload-per-case fast path; run_g (stateful
+    # per-slice guide propagation) uses its plain per-batch forward
+    from boxsegliver_tpu.evaluators.device_eval import DeviceSlicePredictor
+    eval_mesh = None
+    if getattr(args, "num_replicas", 0) and args.num_replicas > 1:
+        # multi-chip 2D eval: shard the slice-batch axis over the data mesh
+        # (the reference is single-GPU at eval, reference README.md:156)
+        from boxsegliver_tpu.parallel import make_mesh
+        eval_mesh = make_mesh(args.num_replicas)
+    predictor = DeviceSlicePredictor(trainer.model, trainer.state, args,
+                                     mesh=eval_mesh)
     # spatial-guided models: Liver uses the interactive guide-propagation
     # evaluator (reference entry/main_g.py:224-227 run_g); NF uses the fixed
     # sp-point guides (reference NF get_dataset_for_sp_point)

@@ -93,12 +93,12 @@ def _axis_slices(img: np.ndarray, gt: np.ndarray, pred: np.ndarray,
 
     if axis == 0:
         return [(img[i], gt[i], pred[i]) for i in range(img.shape[0])]
-    # axis 1 (coronal): planes [d, w]; axis 2 (sagittal): planes [d, h].
-    # Rows are z: stretch them by the spacing ratio so pixels are square
-    # (the reference zooms the other direction by the same ratio,
-    # viewer.py:144 — equivalent aspect, fewer resampled pixels here).
-    a, b = spacing[2], spacing[0]  # in-plane vs z spacing
-    scale = [b / a, 1.0] if b > a else [1.0, 1.0]
+    # axis 1 (coronal): planes [d(z), w]; axis 2 (sagittal): planes [d(z), h].
+    # Square the pixels by stretching whichever direction is coarser
+    # (reference resized_image, viewer.py:132-147).
+    a = spacing[2] if axis == 1 else spacing[1]  # in-plane (cols)
+    b = spacing[0]                               # z (rows)
+    scale = [b / a, 1.0] if b > a else [1.0, a / b]
     out = []
     for i in range(img.shape[axis]):
         sl = [slice(None)] * 3
@@ -279,7 +279,8 @@ function selectCase(pid){
     tr.dataset.pid=pid;
     const sc = DATA.scores[pid]||DATA.scores["*"]||{};
     const stext = Object.entries(sc).map(([k,v])=>k+" "+v.toFixed(3)).join(" ");
-    tr.innerHTML = "<td>Pred-"+pid+"</td><td>"+DATA.cases[pid].axes.z.length+
+    const ax0 = Object.values(DATA.cases[pid].axes)[0];
+    tr.innerHTML = "<td>Pred-"+pid+"</td><td>"+ax0.length+
       "</td><td>"+stext+"</td>";
     tr.onclick=()=>selectCase(pid);
     tb.appendChild(tr);
@@ -305,6 +306,9 @@ def build_viewer(pred_dir, dataset_dir, out_path, score_file=None,
                  ) -> Path:
     from boxsegliver_tpu.data.meta import load_meta
 
+    axes = "".join(a for a in axes if a in "zyx")
+    if not axes:
+        raise ValueError("--axes needs at least one of 'zyx'")
     pred_dir = Path(pred_dir)
     metas = {int(m["PID"]): m for m in load_meta(dataset_dir)}
     if nf is None:

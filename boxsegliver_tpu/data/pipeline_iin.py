@@ -81,6 +81,9 @@ def _process_one_iin(img, lab, clip, pad_mask, key, ct_patch, ct_on,
     if train and noise_scale > 0:
         img = image_ops.random_noise(k_noise, img, noise_scale,
                                      ntype="normal")
+    if train and (use_gamma or noise_scale > 0):
+        # out-of-volume 2.5D channels stay zero through gamma AND noise
+        # (gamma's retain_stats rescale would otherwise shift them)
         img = img * pad_mask[None, None, :]
 
     if train and random_flip:

@@ -53,6 +53,8 @@ def ct_sizes(ct_base: Sequence[int]) -> Tuple[int, int, int]:
     cb = list(ct_base)
     if len(cb) == 3:
         return tuple(int(s) for s in cb)
+    if len(cb) != 1:
+        raise ValueError(f"--ct_base takes 1 or 3 values, got {cb}")
     return int(cb[0]), int(cb[0]) * 2, int(cb[0]) * 4
 
 
@@ -234,19 +236,27 @@ class IinSampler:
             crop = (target * rng.uniform(*self.zoom, size=2)).astype(np.int32)
             crop = (int(min(crop[0], size[1])), int(min(crop[1], size[2])))
 
-            # slice + click selection (reference :536-551)
+            # slice + click selection (reference :536-551); non-forced draws
+            # STILL click a lesion when the random slice happens to contain
+            # one (reference :544-548) — this is what keeps the
+            # tumor_percent=0 eval_online generator non-degenerate
             t_slices = case["tumor_slices_index"]
+            ind = -1
             if tumor_counter < force_tumor and t_slices:
                 ind = rng.randint(len(t_slices))
                 sid = int(t_slices[ind])
                 tumor_counter += 1
+            else:
+                sid = _randint(rng, 0, size[0] - 1)
+                if sid in t_slices:
+                    ind = t_slices.index(sid)
+            if ind >= 0:
                 obj = _randint(rng, 0, len(case["slices"][ind]) - 1)
                 lab_plane = np.asarray(self.vols.label(pid)[sid])
                 y, x = self._click_pixel(lab_plane, case["slices"][ind][obj],
                                          rng)
                 instance = self._instance_mask(lab_plane, y, x)
             else:
-                sid = _randint(rng, 0, size[0] - 1)
                 y = _randint(rng, 0, size[1] - 1)
                 x = _randint(rng, 0, size[2] - 1)
                 instance = None  # background sample: all-zero label (:581-582)

@@ -88,7 +88,11 @@ def lesion_centers(lab_plane: np.ndarray, center, bb) -> np.ndarray:
 def expand_bbox(bb, size: Tuple[int, int], target: Tuple[int, int],
                 expand: int = 5) -> Tuple[int, int, int, int]:
     """Expand the lesion bbox, then grow each side to at least the target
-    size with center clamping (reference :776-794)."""
+    size with center clamping (reference :776-794).  Deviation: when the
+    frame itself is smaller than the target the window clamps to the frame
+    (the reference's center clamp goes negative there and silently mis-slices
+    via numpy negative indexing); the downstream resize-to-target handles the
+    smaller crop."""
     h, w = size
     th, tw = target
     y1, x1, y2, x2 = [int(v) for v in bb]
@@ -98,12 +102,12 @@ def expand_bbox(bb, size: Tuple[int, int], target: Tuple[int, int],
         half = th // 2
         yc = (y1 + y2 - 1) // 2
         yc = min(h - half, max(half, yc))
-        y1, y2 = yc - half, yc + half
+        y1, y2 = max(yc - half, 0), min(yc + half, h)
     if x2 - x1 < tw:
         half = tw // 2
         xc = (x1 + x2 - 1) // 2
         xc = min(w - half, max(half, xc))
-        x1, x2 = xc - half, xc + half
+        x1, x2 = max(xc - half, 0), min(xc + half, w)
     return y1, x1, y2, x2
 
 
@@ -121,7 +125,12 @@ def _context_pyramid(img_norm: np.ndarray, centers: np.ndarray,
                      sizes, channel: int) -> np.ndarray:
     """[32, 32, 3] float32 pyramid from the NORMALIZED crop's middle channel
     around the most central click, per-context re-z-scored (reference
-    :819-836)."""
+    :819-836).
+
+    Note the reference's train/eval inconsistency is reproduced here for
+    output parity: TRAIN context keeps the image's normalization (no
+    re-norm, :272-275), EVAL context is additionally per-pyramid z-scored
+    (:836) — so an eval-time pyramid is zero-mean regardless of --zscore."""
     import cv2
 
     mid = np.median(centers, axis=0)
@@ -273,9 +282,14 @@ def make_patch_predict_tta(model, state, random_flip: int):
         for axes in variants:
             f = dict(feats)
             if axes:
-                f["images"] = jnp.flip(feats["images"], axis=axes)
-                if "sp_guide" in f:
-                    f["sp_guide"] = jnp.flip(feats["sp_guide"], axis=axes)
+                # context flips too: training flips it jointly with the image
+                # (pipeline_iin), so flipped-image + unflipped-context would
+                # be out-of-distribution (deviation from the reference's
+                # eval_batch_generator, which leaves context unflipped while
+                # ITS training flips context with independent coins)
+                for k in ("images", "sp_guide", "context"):
+                    if k in f:
+                        f[k] = jnp.flip(feats[k], axis=axes)
             p = fwd(f)
             if axes:
                 p = jnp.flip(p, axis=axes)
@@ -298,18 +312,9 @@ def predict_batch_tta(predict_fn: Callable, batch: Dict[str, np.ndarray],
         return np.asarray(predict_fn(feats), np.float32)
     probs = np.asarray(predict_fn(feats), np.float32) / mirror_div
     if mirror_div > 1:
-        variants = []
-        if random_flip & 1:
-            variants.append((2,))
-        if random_flip & 2:
-            variants.append((1,))
-        if random_flip & 3 == 3:
-            variants.append((1, 2))
-        for axes in variants:
-            f = dict(feats)
-            f["images"] = np.flip(feats["images"], axis=axes)
-            if "sp_guide" in f:
-                f["sp_guide"] = np.flip(feats["sp_guide"], axis=axes)
+        for axes in mirror_axes(random_flip):
+            # all inputs flip jointly — see make_patch_predict_tta
+            f = {k: np.flip(v, axis=axes) for k, v in feats.items()}
             out = np.asarray(predict_fn(f), np.float32)
             probs += np.flip(out, axis=axes) / mirror_div
     return probs

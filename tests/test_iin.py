@@ -73,14 +73,24 @@ def test_sampler_instance_binary_label(nf_root):
         assert n == 1
 
 
-def test_sampler_background_sample_is_empty(nf_root):
+def test_sampler_unforced_draws_still_click_lesion_slices(nf_root):
+    """tumor_percent=0 (the reference's eval_online setting) must NOT be
+    degenerate: non-forced draws still click a lesion when the random slice
+    has one (reference input_pipeline_iin.py:544-548); draws on empty slices
+    yield all-zero labels and no guides."""
     from boxsegliver_tpu.data.sampler_iin import IinSampler
 
     args = iin_args()
     s = IinSampler(nf_root, args, mode="train", seed=1, tumor_percent=0.0)
-    b = s.sample_batch(4)
-    assert not b["label"].any()          # background draws: all-zero labels
-    assert not b["sp_on"].any() and not b["ct_on"].any()
+    n_clicked = 0
+    for _ in range(4):
+        b = s.sample_batch(8)
+        for i in range(8):
+            if b["label"][i].any():
+                n_clicked += 1
+            else:
+                assert not b["sp_on"][i] and not b["ct_on"][i]
+    assert n_clicked > 0
 
 
 def test_sampler_random_window_clip(nf_root):
@@ -101,6 +111,36 @@ def test_ct_pyramid_sizes():
 
     assert ct_sizes([32]) == (32, 64, 128)
     assert ct_sizes([16, 48, 80]) == (16, 48, 80)
+    with pytest.raises(ValueError):
+        ct_sizes([16, 48])  # 2 values: ambiguous, rejected not truncated
+
+
+def test_pipeline_gamma_keeps_pad_channels_zero(nf_root):
+    """Gamma's retain_stats rescale must not leak into out-of-volume 2.5D
+    channels even with noise off."""
+    import jax
+
+    from boxsegliver_tpu.data.pipeline_iin import make_iin_preprocess_fn
+    from boxsegliver_tpu.data.sampler_iin import IinSampler
+
+    args = iin_args()
+    args.noise_scale = 0.0
+    args.gamma = True
+    args.random_flip = 0
+    s = IinSampler(nf_root, args, mode="train", seed=0, tumor_percent=1.0)
+    found = False
+    for trial in range(6):
+        b = s.sample_batch(8)
+        if (b["pad_mask"] == 0).any():
+            feats, _ = jax.jit(make_iin_preprocess_fn(args, train=True))(
+                b, jax.random.PRNGKey(trial))
+            img = np.asarray(feats["images"])
+            for i in range(8):
+                for c in range(3):
+                    if b["pad_mask"][i, c] == 0:
+                        assert np.allclose(img[i, :, :, c], 0.0, atol=1e-6)
+                        found = True
+    assert found, "no edge-slice samples drawn; widen the search"
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +306,12 @@ def test_expand_bbox_reference_formula():
     # big lesion -> bbox + 5 on each side, no min-size inflation
     y1, x1, y2, x2 = expand_bbox((10, 10, 400, 400), (512, 512), (256, 256))
     assert (y1, x1, y2, x2) == (5, 5, 405, 405)
+    # frame SMALLER than the target: clamp to the frame instead of the
+    # reference's negative-offset mis-slice
+    y1, x1, y2, x2 = expand_bbox((50, 60, 55, 66), (200, 512), (256, 256))
+    assert (y1, y2) == (0, 200) and x2 - x1 == 256
+    y1, x1, y2, x2 = expand_bbox((5, 5, 10, 10), (40, 48), (64, 64))
+    assert (y1, x1, y2, x2) == (0, 0, 40, 48)
 
 
 def test_lesion_centers_on_and_off_mask():

@@ -106,6 +106,32 @@ def test_build_viewer_downscales_and_filters(ds, tmp_path):
     assert max(im.shape) <= 32
 
 
+def test_build_viewer_without_z_axis(ds, tmp_path):
+    """--axes y must produce a valid payload and a case table that counts
+    the first available axis (the JS reads Object.values(axes)[0])."""
+    from boxsegliver_tpu.data import nii as nii_kits
+    from boxsegliver_tpu.data.meta import load_meta
+    from boxsegliver_tpu.data.sampler import CaseVolumes
+
+    meta = load_meta(ds)[0]
+    pid = int(meta["PID"])
+    gt = np.asarray(CaseVolumes(ds).label(pid))
+    pred_dir = tmp_path / "prediction"
+    pred_dir.mkdir()
+    nii_kits.write_nii(gt, pred_dir / f"predict-{pid}.nii.gz",
+                       zooms=meta["spacing"])
+    out = viewer_mod.build_viewer(pred_dir, ds, tmp_path / "v.html",
+                                  axes="y", max_size=48)
+    data = json.loads(re.search(r"const DATA = (\{.*?\});\nlet cur",
+                                out.read_text(), re.S).group(1))
+    case = data["cases"][str(pid)]
+    assert list(case["axes"]) == ["y"]
+    assert len(case["axes"]["y"]) == gt.shape[1]
+    assert "axes.z.length" not in out.read_text()
+    with pytest.raises(ValueError):
+        viewer_mod.build_viewer(pred_dir, ds, tmp_path / "v2.html", axes="q")
+
+
 def test_build_viewer_empty_pred_dir(ds, tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(FileNotFoundError):
