@@ -71,6 +71,14 @@ RUNGS = {
     "inter": {"task": "nf_inter", "flags": [
         "--model", "UNetInter", "--use_spatial", "--local_enhance",
         "--stddev", "5.", "--guide_channel", "2"]},
+    # nf2/iin: click-INSTANCE G-Net with image-patch context (the task the
+    # reference wires at entry/main_g.py:66 but never ran); evaluated with
+    # the per-lesion patch protocol (run_patch), so its Dice is not directly
+    # comparable to the whole-frame rungs — it demonstrates the tower works
+    "iin": {"task": "nf2", "flags": [
+        "--model", "GUNet", "--model_config", "GUNet_IIN.yml",
+        "--use_context", "--ct_base", "16",
+        "--use_spatial", "--guide_scale", "5", "--min_std", "2"]},
 }
 
 # Floors the committed ladder must clear (see tests/test_ladder.py):
