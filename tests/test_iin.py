@@ -492,3 +492,15 @@ def test_cli_nf2_train_and_eval(nf_root, tmp_path):
                             "--log_step", "1", "--save_ckpt_steps", "2"])
     results = cli_main.main(common + ["--mode", "eval", "--eval_final"])
     assert "NF/Dice" in results and np.isfinite(results["NF/Dice"])
+
+    # export + serve roundtrip: the rank-4 patch context rides the signature
+    from boxsegliver_tpu.cli.export import load_exported
+
+    cli_main.main(common + ["--mode", "export", "--eval_final"])
+    serve, signature = load_exported(model_dir / "export")
+    assert signature["inputs"]["context"][0] == [4, 32, 32, 3]
+    feats = {k: np.zeros(shape, np.float32)
+             for k, (shape, _) in signature["inputs"].items()}
+    probs = np.asarray(serve(feats))
+    assert probs.shape == (4, 64, 64, 2)
+    assert np.allclose(probs.sum(-1), 1.0, atol=1e-3)
