@@ -476,6 +476,28 @@ def test_infer_patch_features_and_dump(nf_root, tmp_path):
     assert data["prob"].shape == (64, 64, 2)
 
 
+def test_nf2_train_step_on_8_device_mesh(nf_root, tmp_path):
+    """The fused iin preprocess + GUNet conv-context train step compiles and
+    runs under mesh-8 data parallelism (per-device batch contract)."""
+    from boxsegliver_tpu.cli.main import build_trainer
+    from boxsegliver_tpu.data.pipeline import TrainDataset
+    from boxsegliver_tpu.data.sampler_iin import IinSampler
+
+    args = iin_args(["--num_replicas", "8", "--batch_size", "8",
+                     "--noise_scale", "0.05", "--gamma"])
+    args.model_dir = str(tmp_path)
+    trainer = build_trainer(args, nf_root, fuse_preprocess=True)
+    assert trainer.mesh.size == 8
+    sampler = IinSampler(nf_root, args, mode="train", seed=0)
+    dataset = TrainDataset(sampler, args, seed=0, raw=True)
+    try:
+        trainer.train(dataset, max_steps=2)
+    finally:
+        dataset.close()
+        trainer.ckpt.close()
+    assert trainer.global_step == 2
+
+
 def test_cli_nf2_train_and_eval(nf_root, tmp_path):
     """Product CLI end-to-end: 2 fused train steps then the patch eval."""
     from boxsegliver_tpu.cli import main as cli_main
