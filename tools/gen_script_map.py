@@ -181,6 +181,12 @@ def main():
         " each reference script and diffs it against the family base;"
         " re-run with `--write` after porting more scripts).",
         "",
+        "Repo-only additions (no reference launcher exists):"
+        " `template/003_denseunet.sh` (DenseUNet + ImageNet h5 warm start)"
+        " and `template/004_gnet_iin.sh` (the nf2/iin click-instance task —"
+        " the reference wires `nf2` in entry/main_g.py:66 but ships no"
+        " script for it).",
+        "",
         "| Reference script | entry / task | Repo status | Flag deltas vs base |"
         " Flags w/o repo equivalent |",
         "|---|---|---|---|---|",
