@@ -56,7 +56,34 @@ def product_args(model_dir: str):
     ])
 
 
+def _probe_devices(timeout_s: float = 120.0):
+    """jax.devices() in a worker thread with a deadline: when the TPU tunnel
+    is wedged it HANGS (it does not error), which would stall the driver's
+    bench run indefinitely — fail fast with a diagnosable message instead."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "unet2d_train_throughput_256x256", "value": None,
+            "unit": "slices/sec/chip", "vs_baseline": None,
+            "error": f"device backend unreachable after {timeout_s:.0f}s "
+                     "(TPU tunnel down?) — last committed measurement is in "
+                     "experiments.md / PERF.md"}))
+        raise SystemExit(3)
+    return out["devices"]
+
+
 def main():
+    _probe_devices()
     import jax
 
     from boxsegliver_tpu.cli.main import build_trainer
