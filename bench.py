@@ -57,29 +57,17 @@ def product_args(model_dir: str):
 
 
 def _probe_devices(timeout_s: float = 120.0):
-    """jax.devices() in a worker thread with a deadline: when the TPU tunnel
-    is wedged it HANGS (it does not error), which would stall the driver's
-    bench run indefinitely — fail fast with a diagnosable message instead."""
-    import threading
-
-    out = {}
-
-    def probe():
-        import jax
-        out["devices"] = jax.devices()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "devices" not in out:
+    """Fail fast (with the bench's JSON contract) when the backend hangs."""
+    from boxsegliver_tpu.utils.compile_cache import probe_devices
+    try:
+        return probe_devices(timeout_s)
+    except RuntimeError as e:
         print(json.dumps({
             "metric": "unet2d_train_throughput_256x256", "value": None,
             "unit": "slices/sec/chip", "vs_baseline": None,
-            "error": f"device backend unreachable after {timeout_s:.0f}s "
-                     "(TPU tunnel down?) — last committed measurement is in "
+            "error": f"{e} — last committed measurement is in "
                      "experiments.md / PERF.md"}))
         raise SystemExit(3)
-    return out["devices"]
 
 
 def main():

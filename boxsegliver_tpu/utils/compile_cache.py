@@ -27,3 +27,28 @@ def ensure_compile_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+
+
+def probe_devices(timeout_s: float = 120.0):
+    """jax.devices() in a worker thread with a deadline.
+
+    The axon TPU tunnel HANGS (rather than errors) backend initialization
+    when it is wedged; driver-run entry points probe first so they fail in
+    minutes with a diagnosable message instead of stalling indefinitely.
+    A healthy backend answers in seconds, so the deadline is safe."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        raise RuntimeError(
+            f"device backend unreachable after {timeout_s:.0f}s "
+            "(TPU tunnel down?) — set JAX_PLATFORMS=cpu for a CPU run")
+    return out["devices"]
