@@ -93,6 +93,7 @@ class ModelRunner:
 
 class _Handler(BaseHTTPRequestHandler):
     runner: ModelRunner = None  # set by serve_forever
+    max_body_bytes: int = 256 * 1024 * 1024  # reject larger with 413
     protocol_version = "HTTP/1.1"
 
     # -- helpers -----------------------------------------------------------
@@ -136,6 +137,13 @@ class _Handler(BaseHTTPRequestHandler):
         # unread body would be parsed as the next request line, desyncing
         # the connection
         length = int(self.headers.get("Content-Length", 0))
+        if length > self.max_body_bytes:
+            # can't safely drain an oversized body — refuse and drop the
+            # connection instead of reading it into memory
+            self.close_connection = True
+            return self._error(413, f"body of {length} bytes exceeds the "
+                                    f"{self.max_body_bytes}-byte cap "
+                                    "(--max_body_mb)")
         body = self.rfile.read(length)
         if "chunked" in self.headers.get("Transfer-Encoding", "").lower():
             self.close_connection = True
@@ -177,9 +185,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(500, f"{type(exc).__name__}: {exc}")
 
 
-def make_server(export_dir, host="0.0.0.0", port=8501) -> ThreadingHTTPServer:
+def make_server(export_dir, host="127.0.0.1", port=8501,
+                max_body_mb=256) -> ThreadingHTTPServer:
     runner = ModelRunner(export_dir)
-    handler = type("Handler", (_Handler,), {"runner": runner})
+    handler = type("Handler", (_Handler,),
+                   {"runner": runner,
+                    "max_body_bytes": int(max_body_mb * 1024 * 1024)})
     return ThreadingHTTPServer((host, port), handler)
 
 
@@ -188,13 +199,19 @@ def main(argv=None):
         description="Serve a boxsegliver_tpu export bundle over HTTP "
                     "(TF-Serving-compatible REST surface)")
     parser.add_argument("export_dir", help="directory written by --mode export")
-    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address; the endpoint is unauthenticated, "
+                             "so pass 0.0.0.0 explicitly to expose it beyond "
+                             "localhost")
     parser.add_argument("--port", type=int, default=8501)
+    parser.add_argument("--max_body_mb", type=float, default=256,
+                        help="reject request bodies above this size with 413")
     args = parser.parse_args(argv)
 
     import logging
     logging.basicConfig(level=logging.INFO)
-    server = make_server(args.export_dir, args.host, args.port)
+    server = make_server(args.export_dir, args.host, args.port,
+                         max_body_mb=args.max_body_mb)
     name = server.RequestHandlerClass.runner.name
     logging.getLogger("boxsegliver.serve").info(
         "Serving %s at http://%s:%d/v1/models/%s:predict",

@@ -99,15 +99,15 @@ def expand_bbox(bb, size: Tuple[int, int], target: Tuple[int, int],
     y1, x1 = max(y1 - expand, 0), max(x1 - expand, 0)
     y2, x2 = min(y2 + expand, h), min(x2 + expand, w)
     if y2 - y1 < th:
-        half = th // 2
+        lo, hi = th // 2, th - th // 2  # asymmetric halves: exact for odd th
         yc = (y1 + y2 - 1) // 2
-        yc = min(h - half, max(half, yc))
-        y1, y2 = max(yc - half, 0), min(yc + half, h)
+        yc = min(h - hi, max(lo, yc))
+        y1, y2 = max(yc - lo, 0), min(yc + hi, h)
     if x2 - x1 < tw:
-        half = tw // 2
+        lo, hi = tw // 2, tw - tw // 2
         xc = (x1 + x2 - 1) // 2
-        xc = min(w - half, max(half, xc))
-        x1, x2 = max(xc - half, 0), min(xc + half, w)
+        xc = min(w - hi, max(lo, xc))
+        x1, x2 = max(xc - lo, 0), min(xc + hi, w)
     return y1, x1, y2, x2
 
 

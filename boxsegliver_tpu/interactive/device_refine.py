@@ -53,8 +53,11 @@ class DeviceRefiner2D:
         if getattr(state, "batch_stats", None):
             variables["batch_stats"] = state.batch_stats
         self._variables = variables
+        # per-instance cache (NOT @lru_cache on the method, which keys on
+        # self at class scope and would pin params + compiled executables
+        # for process lifetime across many predictors, e.g. eval_all_ckpt)
+        self._compiled = functools.lru_cache(maxsize=None)(self._compiled)
 
-    @functools.lru_cache(maxsize=None)
     def _compiled(self, sb: int, h: int, w: int, c: int):
         import jax
         import jax.numpy as jnp
@@ -233,8 +236,10 @@ class DeviceRefiner3D:
         if getattr(state, "batch_stats", None):
             variables["batch_stats"] = state.batch_stats
         self._variables = variables
+        # per-instance cache — see DeviceRefiner2D.__init__ for why not
+        # @lru_cache on the method
+        self._compiled = functools.lru_cache(maxsize=None)(self._compiled)
 
-    @functools.lru_cache(maxsize=None)
     def _compiled(self, d: int, h: int, w: int, c: int,
                   vd: int, vh: int, vw: int):
         import jax

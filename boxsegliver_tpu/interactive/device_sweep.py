@@ -73,6 +73,10 @@ class GuidedSweepPredictor:
             lambda v, feats: jax.nn.softmax(
                 model.apply(v, feats, train=False).astype(jax.numpy.float32),
                 axis=-1))
+        # per-instance cache (NOT @lru_cache on the method, which keys on
+        # self at class scope and would pin params + executables for process
+        # lifetime across predictors, e.g. during eval_all_ckpt sweeps)
+        self._compiled = functools.lru_cache(maxsize=None)(self._compiled)
 
     def __call__(self, feats):
         return self._plain(self._variables, feats)
@@ -117,7 +121,6 @@ class GuidedSweepPredictor:
     # the jitted double sweep
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=None)
     def _compiled(self, d_pad: int, channels: int, mu: int, with_ctx: bool,
                   ctx_len: int):
         import jax

@@ -10,6 +10,15 @@ Because DenseUNet's flax submodule names equal the reference variable scopes
 (models/dense_unet.py), the mapping is a direct walk of the param tree:
 layers present in the file are restored, everything else (the decoder) keeps
 its fresh init — the same partial-restore semantics as the reference.
+
+Deliberate deviation: the reference iterates `tf.trainable_variables`, so its
+moving_mean/moving_variance branches (core/models.py:205-210) are dead code —
+it warm-starts BN *affine* params only and leaves the moving statistics at
+fresh init.  This import additionally restores `batch_stats` from the file's
+running_mean/running_std, a behavioral superset (arguably the intended
+behavior: pretrained affine params are calibrated against the pretrained
+statistics).  Set `skip_batch_stats=True` to reproduce the reference's
+trainable-only restore exactly.
 """
 
 from __future__ import annotations
@@ -20,12 +29,15 @@ import numpy as np
 
 
 def load_densenet161_h5(variables: Dict[str, Any], h5_path: str,
-                        log=None) -> Tuple[Dict[str, Any], int]:
+                        log=None, skip_batch_stats: bool = False
+                        ) -> Tuple[Dict[str, Any], int]:
     """Return (variables with imported encoder weights, #leaves restored).
 
     `variables` is the flax variables dict ({"params": ..., "batch_stats":
     ...}); leaves are replaced (dtype-cast to the existing leaf's dtype),
     and a shape mismatch raises rather than silently truncating.
+    `skip_batch_stats=True` reproduces the reference's trainable-only warm
+    start (see module docstring deviation note).
     """
     import h5py
 
@@ -66,7 +78,8 @@ def load_densenet161_h5(variables: Dict[str, Any], h5_path: str,
                                            leaves["bias"], scale_key)
                     restored += 2
                     _log(log, "Restore %s/{scale,bias}", layer)
-        for layer, leaves in params.get("batch_stats", {}).items():
+        stats = {} if skip_batch_stats else params.get("batch_stats", {})
+        for layer, leaves in stats.items():
             if isinstance(leaves, dict) and layer in keys:
                 grp = f[layer]
                 leaves["mean"] = _take(grp, layer + "_running_mean",

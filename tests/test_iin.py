@@ -312,6 +312,13 @@ def test_expand_bbox_reference_formula():
     assert (y1, y2) == (0, 200) and x2 - x1 == 256
     y1, x1, y2, x2 = expand_bbox((5, 5, 10, 10), (40, 48), (64, 64))
     assert (y1, x1, y2, x2) == (0, 0, 40, 48)
+    # odd target sizes: window is EXACTLY the target (asymmetric halves),
+    # not target-1 (would silently force the resize path)
+    y1, x1, y2, x2 = expand_bbox((50, 60, 55, 66), (512, 512), (255, 129))
+    assert (y2 - y1, x2 - x1) == (255, 129)
+    y1, x1, y2, x2 = expand_bbox((0, 505, 4, 510), (512, 512), (65, 65))
+    assert (y2 - y1, x2 - x1) == (65, 65)
+    assert y1 >= 0 and x2 <= 512
 
 
 def test_lesion_centers_on_and_off_mask():

@@ -205,6 +205,33 @@ def test_keepalive_connection_survives_404_with_body(server):
         conn.close()
 
 
+def test_oversized_body_413(bundle):
+    """Bodies above the configurable cap are refused with 413 without being
+    read into memory (the Content-Length is rejected up front)."""
+    srv = make_server(bundle, host="127.0.0.1", port=0, max_body_mb=0.001)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        body = b"x" * 4096  # 4 KiB > 1 KiB cap
+        status, raw, _ = _post(url + "/v1/models/UNet:predict", body)
+        assert status == 413
+        assert "cap" in json.loads(raw)["error"]
+        # a within-cap request still works on a fresh connection
+        status, body = _get(url + "/v1/models/UNet")
+        assert status == 200
+        assert body["model_version_status"][0]["state"] == "AVAILABLE"
+    finally:
+        srv.shutdown()
+
+
+def test_default_bind_is_localhost():
+    """The unauthenticated endpoint must not bind 0.0.0.0 unless asked."""
+    import inspect
+    assert inspect.signature(make_server).parameters["host"].default \
+        == "127.0.0.1"
+
+
 def test_empty_batch_400(server):
     buf = io.BytesIO()
     np.savez(buf, images=np.zeros((0, 32, 32, 3), np.float32))
