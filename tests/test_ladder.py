@@ -29,9 +29,17 @@ def _dice(entry):
 
 
 def _need(ladder, *rungs):
+    """Missing rungs are a FAILURE unless the ledger itself declares them
+    pending (`_meta.pending`) — a completed ladder must not silently lose
+    rows (round-3 verdict weak #3)."""
+    pending = set(ladder.get("_meta", {}).get("pending", []))
     missing = [r for r in rungs if r not in ladder]
-    if missing:
-        pytest.skip(f"ladder rungs not yet recorded: {missing}")
+    still_pending = [r for r in missing if r in pending]
+    if still_pending:
+        pytest.skip(f"ladder rungs declared pending: {still_pending}")
+    assert not missing, (
+        f"ladder rungs missing from experiments/ladder.json and not marked "
+        f"pending in _meta: {missing} — a recorded rung was dropped")
     return [ladder[r] for r in rungs]
 
 
@@ -56,3 +64,11 @@ def test_unguided_is_capped_by_distractors(ladder):
     saturate (distractor twins bound its Dice well below the guided runs)."""
     (un,) = _need(ladder, "unet")
     assert _dice(un) <= 0.90
+
+
+def test_iin_patch_rung_recorded(ladder):
+    """The nf2/iin tower's chip rung (per-lesion patch protocol; its Dice is
+    NOT comparable to the whole-frame rungs — see tools/run_ladder.py RUNGS).
+    Skips only while _meta.pending declares it outstanding."""
+    (iin,) = _need(ladder, "iin")
+    assert _dice(iin) >= 0.55

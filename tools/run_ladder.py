@@ -136,8 +136,13 @@ def eval_rung(rung: str) -> dict:
     LEDGER.parent.mkdir(parents=True, exist_ok=True)
     ledger = json.loads(LEDGER.read_text()) if LEDGER.exists() else {}
     ledger[rung] = entry
-    ledger["_meta"] = {"dataset": "make_nf_hard_case seed %d, 8 cases, "
-                       "128^2, fold 0" % SEED, "steps": TOTAL_STEPS}
+    meta = ledger.get("_meta", {})
+    # rungs not yet recorded stay declared-pending so tests/test_ladder.py
+    # skips them; recorded rungs must never go missing again (strict floors)
+    meta.update({"dataset": "make_nf_hard_case seed %d, 8 cases, "
+                 "128^2, fold 0" % SEED, "steps": TOTAL_STEPS,
+                 "pending": sorted(r for r in RUNGS if r not in ledger)})
+    ledger["_meta"] = meta
     LEDGER.write_text(json.dumps(ledger, indent=1, sort_keys=True))
     print(rung, "->", entry)
     return entry
