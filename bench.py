@@ -60,6 +60,9 @@ def product_args(model_dir: str):
         "--num_of_total_steps", "1000000",
         "--model_dir", model_dir, "--host_workers", "1",
         "--log_step", "1000000", "--device_cache",
+        # A/B hook for the optimizer-traffic experiment (PERF.md):
+        # BENCH_MOMENT_DTYPE=bfloat16 python bench.py
+        "--opt_moment_dtype", os.environ.get("BENCH_MOMENT_DTYPE", "float32"),
     ])
 
 

@@ -149,6 +149,12 @@ def add_solver_arguments(parser: argparse.ArgumentParser):
     group.add_argument("--adam_beta1", type=float)
     group.add_argument("--adam_beta2", type=float)
     group.add_argument("--adam_eps", type=float)
+    group.add_argument("--opt_moment_dtype", type=str, default="float32",
+                       choices=["float32", "bfloat16"],
+                       help="Storage dtype of Adam moments (update math stays "
+                            "float32). bfloat16 halves optimizer-state HBM "
+                            "traffic per step; changing it between runs is "
+                            "checkpoint-incompatible (opt_state dtypes)")
     group.add_argument("--mm_mm", type=float)
     group.add_argument("--mm_nesterov", action="store_true")
     group.add_argument("--lr_patience", type=int, default=30,

@@ -21,8 +21,57 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import optax
+
+
+def scale_by_adam_lowp(b1: float = 0.9, b2: float = 0.99, eps: float = 1e-8,
+                       moment_dtype=jnp.bfloat16
+                       ) -> optax.GradientTransformation:
+    """scale_by_adam with BOTH moments stored in `moment_dtype`.
+
+    Update math runs in float32 (moments are upcast, blended, downcast), so
+    only the at-rest representation loses precision: the four moment
+    reads/writes per step drop from 16 to 8 bytes/param — on the headline
+    UNet-64 workload that is ~2/3 of the param-sized optimizer traffic
+    (PERF.md round-3 roofline, elementwise irreducibles).  optax's own
+    `mu_dtype` covers mu only; nu (the variance) dominates neither range nor
+    stability here because bf16 keeps float32's 8-bit exponent and the
+    denominator enters under a sqrt (~0.2% relative update noise).
+    Bias correction matches optax.scale_by_adam exactly.
+    """
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, moment_dtype), params),
+            nu=jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, moment_dtype), params))
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1.0 - jnp.asarray(b1, jnp.float32) ** count
+        c2 = 1.0 - jnp.asarray(b2, jnp.float32) ** count
+
+        def one(m, v, g):
+            g = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
+            upd = (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)
+            return m32.astype(moment_dtype), v32.astype(moment_dtype), upd
+
+        out = jax.tree_util.tree_map(one, state.mu, state.nu, grads)
+        mu = jax.tree_util.tree_map(lambda t: t[0], out,
+                                    is_leaf=lambda t: isinstance(t, tuple))
+        nu = jax.tree_util.tree_map(lambda t: t[1], out,
+                                    is_leaf=lambda t: isinstance(t, tuple))
+        updates = jax.tree_util.tree_map(
+            lambda t: t[2], out, is_leaf=lambda t: isinstance(t, tuple))
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_lr_fn(args) -> Callable:
@@ -90,16 +139,23 @@ class Solver:
         """Returns a transform producing DESCENT updates at unit LR; the train
         step multiplies by lr(step) (so plateau decay needs no recompile)."""
         p = self.optimizer_params
+        lowp = getattr(self.args, "opt_moment_dtype", "float32") == "bfloat16"
+
+        def adam_tx():
+            kw = dict(b1=p.get("beta1", 0.9), b2=p.get("beta2", 0.99),
+                      eps=p.get("epsilon", 1e-8))
+            if lowp:
+                return scale_by_adam_lowp(moment_dtype=jnp.bfloat16, **kw)
+            return optax.scale_by_adam(**kw)
+
         if self.optimizer == "adam":
-            tx = optax.scale_by_adam(b1=p.get("beta1", 0.9), b2=p.get("beta2", 0.99),
-                                     eps=p.get("epsilon", 1e-8))
+            tx = adam_tx()
         elif self.optimizer == "momentum":
             tx = optax.trace(decay=p.get("momentum", 0.9),
                              nesterov=p.get("use_nesterov", False))
         elif self.optimizer == "adamw":
             tx = optax.chain(
-                optax.scale_by_adam(b1=p.get("beta1", 0.9), b2=p.get("beta2", 0.99),
-                                    eps=p.get("epsilon", 1e-8)),
+                adam_tx(),
                 optax.add_decayed_weights(
                     p.get("weight_decay", self.args.weight_decay_rate)),
             )

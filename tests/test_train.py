@@ -66,6 +66,53 @@ def test_lr_poly():
     assert np.isclose(fn(100), 1e-4)
 
 
+def test_bf16_moment_adam_tracks_f32_adam():
+    """--opt_moment_dtype bfloat16 stores both Adam moments in bf16 but must
+    track the float32 optimizer closely (update math stays f32; only the
+    at-rest moments are rounded).  Optimizes a small quadratic for 60 steps
+    and compares trajectories."""
+    rng = np.random.RandomState(0)
+    target = jnp.asarray(rng.randn(64), jnp.float32)
+
+    def loss(p):
+        return jnp.sum((p - target) ** 2) + 0.1 * jnp.sum(jnp.abs(p))
+
+    def run(moment_dtype):
+        tx = Solver(_args(opt_moment_dtype=moment_dtype)).make_transform()
+        p = jnp.zeros(64, jnp.float32)
+        st = tx.init(p)
+        for _ in range(60):
+            g = jax.grad(loss)(p)
+            upd, st = tx.update(g, st, p)
+            p = p + 1e-2 * upd
+        return p, st
+
+    p32, _ = run("float32")
+    p16, st16 = run("bfloat16")
+    inner = st16[0]  # ScaleByAdamState inside the chain
+    assert all(leaf.dtype == jnp.bfloat16
+               for leaf in jax.tree_util.tree_leaves((inner.mu, inner.nu)))
+    # trajectories agree to well under a percent of the parameter scale
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32),
+                               rtol=0, atol=5e-3)
+    # bias correction matches optax exactly on step 1: update == sign-ish
+    tx = Solver(_args(opt_moment_dtype="bfloat16")).make_transform()
+    st = tx.init(jnp.zeros(4))
+    upd, _ = tx.update(jnp.asarray([1.0, -2.0, 0.5, 0.0]), st, jnp.zeros(4))
+    np.testing.assert_allclose(np.asarray(upd), [-1.0, 1.0, -1.0, 0.0],
+                               atol=1e-4)
+
+
+def test_bf16_moment_adamw_has_decay_and_lowp_state():
+    tx = Solver(_args(optimizer="AdamW",
+                      opt_moment_dtype="bfloat16")).make_transform()
+    p = jnp.ones(8, jnp.float32)
+    st = tx.init(p)
+    upd, _ = tx.update(jnp.zeros(8), st, p)
+    # zero grad -> update is pure (negated) weight decay
+    assert np.all(np.asarray(upd) < 0)
+
+
 def test_lr_plateau_and_slow_start():
     fn = make_lr_fn(_args(learning_policy="plateau", lr_warm_up=True,
                           slow_start_step=10, slow_start_lr=1e-5))
