@@ -66,6 +66,17 @@ def test_unguided_is_capped_by_distractors(ladder):
     assert _dice(un) <= 0.90
 
 
+def test_single_canonical_resolution(ladder):
+    """Top-level rungs must all share one resolution (_meta.res); rows from
+    a previous resolution live under _archive_<res> (verdict weak #4)."""
+    res = ladder.get("_meta", {}).get("res", 128)
+    for rung, entry in ladder.items():
+        if rung.startswith("_"):
+            continue
+        assert entry.get("res", 128) == res, \
+            f"rung {rung} at {entry.get('res', 128)}² in a {res}² ladder"
+
+
 def test_iin_patch_rung_recorded(ladder):
     """The nf2/iin tower's chip rung (per-lesion patch protocol; its Dice is
     NOT comparable to the whole-frame rungs — see tools/run_ladder.py RUNGS).

@@ -24,13 +24,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
-DATA_ROOT = Path("/tmp/boxseg_ladder")
+# LADDER_RES selects the benchmark resolution (default 256 = the flagship /
+# reference full-res protocol, entry/main_eval.py; round-3 rows were 128 and
+# are kept under their own res field — cross-res comparisons were verdict
+# weak #4).  Each resolution gets its own dataset/model dirs + ledger keys.
+RES = int(os.environ.get("LADDER_RES", "256"))
+DATA_ROOT = Path("/tmp/boxseg_ladder%s" % ("" if RES == 128 else f"_{RES}"))
 DATASET = "hard_nf"
 MODEL_ROOT = DATA_ROOT / "model_dir"
 LEDGER = REPO / "experiments" / "ladder.json"
@@ -41,7 +47,7 @@ SEED = 20260817
 
 BASE = [
     "--classes", "NF", "--test_fold", "0", "--k_folds", "4",
-    "--im_height", "128", "--im_width", "128", "--im_channel", "3",
+    "--im_height", str(RES), "--im_width", str(RES), "--im_channel", "3",
     "--zscore", "--noise_scale", "0", "--random_flip", "3",
     "--normalizer", "instance_norm",
     "--loss_weight_type", "numerical", "--loss_numeric_w", "1", "1",
@@ -99,7 +105,7 @@ def prepare():
     if (root / "meta.json").exists():
         print("dataset exists:", root)
         return
-    make_synthetic_dataset(root, n_cases=8, shape=(32, 128, 128),
+    make_synthetic_dataset(root, n_cases=8, shape=(32, RES, RES),
                            modality="nf", variant="hard", seed=SEED,
                            k_split=4)
     print("dataset:", root)
@@ -133,14 +139,25 @@ def eval_rung(rung: str) -> dict:
         run(cmd, cwd=REPO, check=True)
         res = json.loads((model_dir / "eval_results_3d.txt").read_text())
     entry = {k: round(float(v), 4) for k, v in res.items()}
+    entry["res"] = RES
     LEDGER.parent.mkdir(parents=True, exist_ok=True)
     ledger = json.loads(LEDGER.read_text()) if LEDGER.exists() else {}
+    # first row at a NEW resolution archives the old-res rows (one canonical
+    # resolution at the top level; verdict weak #4 banned cross-res mixing)
+    old = [r for r in RUNGS
+           if r in ledger and ledger[r].get("res", 128) != RES]
+    if old:
+        archive = ledger.setdefault(
+            "_archive_%d" % ledger[old[0]].get("res", 128), {})
+        for r in old:
+            archive[r] = ledger.pop(r)
     ledger[rung] = entry
     meta = ledger.get("_meta", {})
     # rungs not yet recorded stay declared-pending so tests/test_ladder.py
     # skips them; recorded rungs must never go missing again (strict floors)
     meta.update({"dataset": "make_nf_hard_case seed %d, 8 cases, "
-                 "128^2, fold 0" % SEED, "steps": TOTAL_STEPS,
+                 "%d^2, fold 0" % (SEED, RES), "steps": TOTAL_STEPS,
+                 "res": RES,
                  "pending": sorted(r for r in RUNGS if r not in ledger)})
     ledger["_meta"] = meta
     LEDGER.write_text(json.dumps(ledger, indent=1, sort_keys=True))
