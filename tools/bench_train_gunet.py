@@ -1,0 +1,140 @@
+"""Flagship GUNet(ctx+sp) 256^2 training throughput on one chip.
+
+The signature config of the framework (reference
+run_scripts/template/002_gnet_sp.sh: GUNet with histogram context +
+spatial guide, 256x256x3, instance norm) measured with bench.py's
+methodology: AOT compile, amortized timing windows, bulk metric drain
+(the tunnel's per-dispatch floor and block_until_ready quirk make naive
+timing meaningless — see PERF.md). Runs the REAL product composition
+(`build_trainer(fuse_preprocess=True)` + the guided liver pipeline), not
+a stripped model loop.
+
+Usage: python tools/bench_train_gunet.py [--lane_pack auto|on|off]
+       [--batch 8] [--steps 20] [--windows 3] [--size 256]
+
+NOTE: first compile of the fused lane-packed GUNet ctx+sp step took
+~22 min over the tunnel in round 3 — run detached with the compile
+cache enabled (ensure_compile_cache() below sets it up).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
+
+ensure_compile_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lane_pack", choices=["auto", "on", "off"],
+                    default="auto")
+    ap.add_argument("--size", type=int, default=256,
+                    help="in-plane resolution (256 = the product config; "
+                         "smaller only for CPU smokes)")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
+                    default="float32")
+    opts = ap.parse_args()
+
+    import jax
+
+    from boxsegliver_tpu.cli.main import build_trainer, get_args
+    from boxsegliver_tpu.data import synthetic
+    from boxsegliver_tpu.data.pipeline import TrainDataset
+    from boxsegliver_tpu.data.sampler import TrainSampler
+
+    ds_root = Path(f"/tmp/boxseg_benchg_ds_{opts.size}")
+    if not (ds_root / "meta.json").exists():
+        synthetic.make_synthetic_dataset(ds_root, n_cases=4,
+                                         shape=(24, opts.size, opts.size),
+                                         k_split=4, with_features=True)
+
+    # the run_scripts/template/002_gnet_sp.sh train flag surface
+    args = get_args([
+        "liver", "--mode", "train", "--tag", "benchg",
+        "--model", "GUNet", "--classes", "Liver", "Tumor",
+        "--im_height", str(opts.size), "--im_width", str(opts.size),
+        "--im_channel", "3", "--random_flip", "3",
+        "--normalizer", "instance_norm",
+        "--use_context", "--context_list", "hist", "200", "--hist_noise",
+        "--use_spatial", "--spatial_random", "1.0",
+        "--spatial_inner_random",
+        "--center_random_ratio", "0.2", "--stddev_random_ratio", "0.4",
+        "--min_std", "2", "--noise_scale", "0.05",
+        "--loss_weight_type", "numerical",
+        "--loss_numeric_w", "0.2", "0.4", "4.4",
+        "--batch_size", str(opts.batch),
+        "--weight_decay_rate", "0.000001",
+        "--learning_rate", "0.001",
+        "--num_of_total_steps", "1000000",
+        "--test_fold", "0", "--k_folds", "4",
+        "--model_dir", "/tmp/boxseg_benchg_model", "--host_workers", "1",
+        "--log_step", "1000000", "--lane_pack", opts.lane_pack,
+        "--opt_moment_dtype", opts.moment_dtype,
+    ])
+    args.num_replicas = 1
+
+    trainer = build_trainer(args, ds_root, fuse_preprocess=True)
+    sampler = TrainSampler(ds_root, args, mode="train", seed=1)
+    dataset = TrainDataset(sampler, args, seed=args.seed, raw=True,
+                           workers=1, prefetch=4)
+    it = iter(dataset)
+    drain_every = int(args.metrics_fetch_steps)
+
+    batch0 = next(it)
+    feats0 = jax.device_put(batch0, trainer._data_sharding)
+    rng0 = jax.random.PRNGKey(0)
+    t_c0 = time.perf_counter()
+    compiled = trainer._train_step.lower(trainer.state, feats0, None,
+                                         rng0).compile()
+    compile_s = time.perf_counter() - t_c0
+    state = trainer.state
+
+    def run_window(n, state):
+        pending = []
+        t0 = time.perf_counter()
+        for _ in range(n):
+            batch = next(it)
+            feats = jax.device_put(batch, trainer._data_sharding)
+            state, metrics = compiled(state, feats, None, rng0)
+            pending.append(metrics)
+            if len(pending) >= drain_every:
+                jax.device_get(pending)
+                pending = []
+        if pending:
+            jax.device_get(pending)
+        return time.perf_counter() - t0, state
+
+    _, state = run_window(3, state)  # warmup
+    windows = []
+    for _ in range(opts.windows):
+        dt, state = run_window(opts.steps, state)
+        windows.append(dt)
+    med = statistics.median(sorted(windows))
+    slices_s = opts.steps * opts.batch / med
+    print(json.dumps({
+        "metric": "gunet_ctx_sp_train_throughput",
+        "value": round(slices_s, 2),
+        "unit": f"slices({opts.size}x{opts.size}x3)/s/chip",
+        "ms_per_step": round(1e3 * med / opts.steps, 2),
+        "lane_pack": opts.lane_pack,
+        "moment_dtype": opts.moment_dtype,
+        "batch": opts.batch,
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
