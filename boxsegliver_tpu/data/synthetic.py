@@ -97,22 +97,37 @@ def _smooth_field(rng: np.random.Generator, shape, low: float, high: float,
 
 def make_nf_hard_case(rng: np.random.Generator,
                       shape: Tuple[int, int, int] = (32, 256, 256),
-                      n_lesions: Tuple[int, int] = (3, 8)):
+                      n_lesions: Tuple[int, int] = (3, 8),
+                      return_info: bool = False):
     """One HARD synthetic NF case, built so that appearance alone cannot
     solve it (the round-2 verdict's de-saturation demand):
 
     - lesions are SMALL (in-plane radius 2-9 px, z radius 1-3) with soft
       gaussian edges and LOW contrast over a noisy, bias-field-modulated body;
     - every case also contains the same number of DISTRACTOR blobs drawn from
-      the identical size/intensity distribution but left unlabeled — a
-      no-guide model cannot tell lesion from distractor, so its Dice is
-      structurally capped (~2L/(2L+D) if it marks everything blob-like),
-      while spatial guides / clicks (which mark true lesions) disambiguate;
+      the same size distribution but left unlabeled — a no-guide model
+      cannot tell lesion from distractor, so its Dice is structurally
+      capped (~2L/(2L+D) if it marks everything blob-like), while spatial
+      guides / clicks (which mark true lesions) disambiguate;
+    - lesion and distractor intensity deltas come from two DISJOINT
+      per-case bands (one in [90,115], one in [135,160]) and which band is
+      the lesion one flips randomly per case: the MARGINAL delta
+      distribution is identical for lesions and distractors (appearance
+      alone stays capped), but the per-case GT-region histogram — exactly
+      what the hist context feature encodes (meta.case_hist_features,
+      reference extract.py:340-374 dump_hist_feature_v2) — reveals it, so
+      histogram context carries real, learnable signal.  This mirrors the
+      reference's finding that context+spatial beats spatial-only
+      (experiments.md:40-41,120); before round 4 both blob families shared
+      one band and context was provably dead weight on this benchmark.
     - per-case global gain jitter makes normalization matter.
 
     Mirrors the difficulty axis of the reference's real-NF ladder
     (experiments.md:103-127: UNet 0.492 -> spatial GUNet 0.802 ->
     interactive 0.837) in a synthetic, hermetic form.
+
+    With return_info=True additionally returns {"mu_lesion", "mu_distractor"}
+    (pre-gain-jitter band centers) for tests.
     """
     d, h, w = shape
     zz, yy, xx = np.meshgrid(np.arange(d), np.arange(h), np.arange(w),
@@ -126,13 +141,12 @@ def make_nf_hard_case(rng: np.random.Generator,
     volume[body] = 300.0
     volume *= _smooth_field(rng, shape, 0.8, 1.25)
 
-    def add_blob(labeled: bool):
+    def add_blob(labeled: bool, delta: float):
         ty = cy + rng.uniform(-0.8, 0.8) * 0.4 * h
         tx = cx + rng.uniform(-0.8, 0.8) * 0.4 * w
         tz = cz + rng.uniform(-0.8, 0.8) * 0.45 * d
         r_in = rng.uniform(2.0, 9.0)
         r_z = rng.uniform(1.0, 3.0)
-        delta = rng.uniform(90.0, 160.0)
         dist2 = (((zz - tz) / r_z) ** 2 + ((yy - ty) / r_in) ** 2
                  + ((xx - tx) / r_in) ** 2)
         # soft gaussian edge: contrast fades across the boundary
@@ -141,16 +155,27 @@ def make_nf_hard_case(rng: np.random.Generator,
         if labeled:
             labels[(dist2 <= 1.0) & body] = 1
 
+    # Two disjoint intensity bands; which one is the lesion band flips per
+    # case, so appearance alone cannot learn "bright blob = lesion" but the
+    # case's GT-region histogram can.
+    lo = float(rng.uniform(90.0, 115.0))
+    hi = float(rng.uniform(135.0, 160.0))
+    mu_lesion, mu_distractor = (lo, hi) if rng.random() < 0.5 else (hi, lo)
+
     n = int(rng.integers(n_lesions[0], n_lesions[1] + 1))
     for _ in range(n):
-        add_blob(True)
-    for _ in range(n):          # identical twins, unlabeled
-        add_blob(False)
+        add_blob(True, float(rng.normal(mu_lesion, 6.0)))
+    for _ in range(n):          # same sizes/count, the OTHER band, unlabeled
+        add_blob(False, float(rng.normal(mu_distractor, 6.0)))
 
     volume += rng.normal(0.0, 55.0, shape).astype(np.float32) * body
     volume *= float(rng.uniform(0.75, 1.3))       # per-case gain jitter
-    spacing = (float(rng.uniform(3.0, 6.0)), 1.0, 1.0)
-    return np.clip(volume, 0, 1000).astype(np.int16), labels, spacing
+    spacing_ = (float(rng.uniform(3.0, 6.0)), 1.0, 1.0)
+    vol16 = np.clip(volume, 0, 1000).astype(np.int16)
+    if return_info:
+        return vol16, labels, spacing_, {"mu_lesion": mu_lesion,
+                                         "mu_distractor": mu_distractor}
+    return vol16, labels, spacing_
 
 
 def make_synthetic_dataset(root, n_cases: int = 4,

@@ -277,3 +277,31 @@ def test_prepare_glcm_subcommand(tmp_path, capsys):
         import numpy as np
         feats = np.load(files[0])
         assert feats.shape[-1] == 96  # 8 props x 12 distance/angle combos
+
+
+def test_hard_case_band_v2_properties():
+    """The band-v2 hard generator: lesion and distractor intensity deltas sit
+    in DISJOINT per-case bands, the band assignment flips across cases (so the
+    marginal is symmetric and appearance alone stays capped), and the signal
+    is physically present in the written volume — the per-case GT-region
+    histogram (the hist context feature) can therefore disambiguate.  This is
+    what makes gunet_both > gunet_sp reproducible (reference
+    experiments.md:40-41,120)."""
+    rng = np.random.default_rng(7)
+    mus, est, flips = [], [], []
+    for _ in range(10):
+        vol, lab, _sp, info = synthetic.make_nf_hard_case(
+            rng, shape=(16, 96, 96), return_info=True)
+        mu_l, mu_d = info["mu_lesion"], info["mu_distractor"]
+        assert abs(mu_l - mu_d) >= 20.0          # disjoint bands
+        flips.append(mu_l > mu_d)
+        assert lab.sum() > 0
+        body = vol[vol > 0]
+        body_med = float(np.median(body))
+        gain = body_med / 300.0                  # body baseline is 300
+        est.append((float(vol[lab == 1].mean()) - body_med) / gain)
+        mus.append(mu_l)
+    assert any(flips) and not all(flips)         # band assignment flips
+    # the measured per-case lesion delta tracks the drawn band center
+    r = np.corrcoef(np.asarray(mus), np.asarray(est))[0, 1]
+    assert r > 0.8, (r, mus, est)

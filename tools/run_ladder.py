@@ -37,7 +37,12 @@ sys.path.insert(0, str(REPO))
 # weak #4).  Each resolution gets its own dataset/model dirs + ledger keys.
 RES = int(os.environ.get("LADDER_RES", "256"))
 DATA_ROOT = Path("/tmp/boxseg_ladder%s" % ("" if RES == 128 else f"_{RES}"))
-DATASET = "hard_nf"
+# v2: make_nf_hard_case draws lesion/distractor deltas from disjoint
+# per-case bands (flipped randomly per case) so the histogram context
+# carries real signal — verdict r3 weak #2 (gunet_both <= gunet_sp was
+# explained by context being provably dead weight under the v1 generator).
+# The name bump guarantees a stale v1 dataset dir is never reused.
+DATASET = "hard_nf_v2"
 MODEL_ROOT = DATA_ROOT / "model_dir"
 LEDGER = REPO / "experiments" / "ladder.json"
 # 2000 steps fits one 590 s process window (the TPU tunnel recompiles the
@@ -155,7 +160,7 @@ def eval_rung(rung: str) -> dict:
     meta = ledger.get("_meta", {})
     # rungs not yet recorded stay declared-pending so tests/test_ladder.py
     # skips them; recorded rungs must never go missing again (strict floors)
-    meta.update({"dataset": "make_nf_hard_case seed %d, 8 cases, "
+    meta.update({"dataset": "make_nf_hard_case(band-v2) seed %d, 8 cases, "
                  "%d^2, fold 0" % (SEED, RES), "steps": TOTAL_STEPS,
                  "res": RES,
                  "pending": sorted(r for r in RUNGS if r not in ledger)})
