@@ -28,7 +28,7 @@ from flax import linen as nn
 from boxsegliver_tpu.models.layers import (MLP, VGG1D, ChannelAffine,
                                            ConvNormAct, Norm, PatchCNN, UpConv,
                                            get_kernel_init, he_normal,
-                                           image_gradients)
+                                           image_gradients, max_pool2x2)
 from boxsegliver_tpu.models.packed import (PackedChannelAffine, PackedConv,
                                            PackedConvNormAct, PackedNorm,
                                            PackedPointwise, PackedUpConv,
@@ -235,7 +235,7 @@ class GUNet(nn.Module):
                 if packed_here:
                     x = packed_max_pool(x)
                 else:
-                    x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+                    x = max_pool2x2(x, padding="SAME")
 
         # ---- decoder ------------------------------------------------------
         norm = None if self.without_norm else self.normalizer

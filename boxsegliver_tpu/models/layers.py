@@ -14,6 +14,7 @@ are always cast to float32 before loss/softmax.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -32,6 +33,29 @@ def get_kernel_init(weight_init: str = "xavier"):
 
 
 he_normal = nn.initializers.he_normal
+
+
+def max_pool2x2(x: jnp.ndarray, padding: str = "VALID") -> jnp.ndarray:
+    """2x2 stride-2 VALID max pool via reshape+max instead of reduce_window.
+
+    Why: XLA:TPU lowers reduce_window's gradient to select-and-scatter, a
+    windowed op the backend cannot fuse (measured 1.79 ms/step of the headline
+    train step, profiles/packed_v2_r3.txt).  For NON-OVERLAPPING windows the
+    same pool is a reshape + max whose backward is an ordinary compare/select
+    loop fusion at full HBM bandwidth.  Forward is bit-identical to
+    nn.max_pool; backward differs only on exact ties inside a window (this
+    form splits the gradient equally among tied maxima, select-and-scatter
+    routes it to the first — measure-zero for continuous activations,
+    symmetric-and-arguably-better for the post-ReLU zero plateaus bf16
+    produces).  Set BOXSEG_POOL_IMPL=window to restore the reduce_window
+    lowering (A/B hook).  Odd H/W falls back to nn.max_pool with the caller's
+    padding (for even sizes SAME == VALID, so the reshape form serves both;
+    the reference slim.max_pool2d default is VALID, NetworksV2/UNet.py:78)."""
+    b, h, w, c = x.shape
+    if h % 2 or w % 2 or os.environ.get("BOXSEG_POOL_IMPL") == "window":
+        return nn.max_pool(x, (2, 2), strides=(2, 2), padding=padding)
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.max(axis=(2, 4))
 
 
 class Norm(nn.Module):

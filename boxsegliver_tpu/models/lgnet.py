@@ -14,7 +14,8 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from boxsegliver_tpu.models.layers import ConvNormAct, UpConv, get_kernel_init
+from boxsegliver_tpu.models.layers import (ConvNormAct, UpConv,
+                                           get_kernel_init, max_pool2x2)
 from boxsegliver_tpu.models.packed import (PackedConvNormAct, PackedPointwise,
                                            PackedUpConv, pack_w, packed_concat,
                                            packed_max_pool, unpack_w)
@@ -107,7 +108,7 @@ class LGNet(nn.Module):
             x = merge_guide_act(x, i, enc_params, self.mod_layers[0])
             skips.append(x)
             if i < 4:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+                x = max_pool2x2(x, padding="SAME")
 
         for i in reversed(range(4)):
             ch = _LAYER_C[i]

@@ -35,6 +35,7 @@ CUDA (NetworksV2/UNet.py:75-101); this module is the TPU-native layout of it.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -74,8 +75,16 @@ def packed_concat(*tensors: jnp.ndarray) -> jnp.ndarray:
 def packed_max_pool(x: jnp.ndarray) -> jnp.ndarray:
     """2x2 stride-2 maxpool of the unpacked tensor, from packed input:
     height-pool + max over the width-phase channel pair.  Output UNPACKED
-    [B, H/2, W/2, C] — exactly the next (128-channel) stage's input."""
-    x = nn.max_pool(x, (2, 1), strides=(2, 1))
+    [B, H/2, W/2, C] — exactly the next (128-channel) stage's input.
+
+    The height pool is a reshape+max (not reduce_window) so its backward is a
+    loop fusion, not select-and-scatter — see layers.max_pool2x2 for the
+    measured rationale and the BOXSEG_POOL_IMPL=window A/B hook."""
+    b, h, w2, c2 = x.shape
+    if h % 2 or os.environ.get("BOXSEG_POOL_IMPL") == "window":
+        x = nn.max_pool(x, (2, 1), strides=(2, 1))
+    else:
+        x = x.reshape(b, h // 2, 2, w2, c2).max(axis=2)
     c = x.shape[-1] // 2
     return jnp.maximum(x[..., :c], x[..., c:])
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from boxsegliver_tpu.models.layers import (ConvNormAct, UpConv, get_kernel_init,
-                                           image_gradients)
+                                           image_gradients, max_pool2x2)
 from boxsegliver_tpu.models.packed import (PackedConvNormAct, PackedPointwise,
                                            PackedUpConv, pack_w, packed_concat,
                                            packed_max_pool, unpack_w)
@@ -70,7 +70,7 @@ class UNet(nn.Module):
                                     name=f"Encode{i + 1}_conv{j + 1}")(
                                         x, train=train)
                 skips.append(x)
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = max_pool2x2(x)
             ch *= 2
 
         for j in range(2):

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from boxsegliver_tpu.models.layers import (ConvNormAct, UpConv,
-                                           get_kernel_init, image_gradients)
+                                           get_kernel_init, image_gradients,
+                                           max_pool2x2)
 from boxsegliver_tpu.models.packed import (PackedConvNormAct, PackedPointwise,
                                            PackedUpConv, pack_w, packed_concat,
                                            packed_max_pool, unpack_w)
@@ -72,7 +73,7 @@ class UNetInter(nn.Module):
                 x = jnp.concatenate(
                     [x, sp_guide.astype(x.dtype)], axis=-1)
             if i < self.num_down_samples:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+                x = max_pool2x2(x, padding="SAME")
 
         for i in reversed(range(self.num_down_samples)):
             ch = self.init_channels * 2 ** i
