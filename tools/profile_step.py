@@ -76,6 +76,15 @@ def main():
     compiled = trainer._train_step.lower(trainer.state, feats0, None,
                                          rng0).compile()
     print(f"compiled in {time.perf_counter() - t0:.1f}s", flush=True)
+    # Dump the optimized HLO so parse_profile --hlo can resolve hlo_stats op
+    # names (fusion.394, ...) to their fusion bodies' source metadata.
+    try:
+        Path(opts.outdir).mkdir(parents=True, exist_ok=True)
+        hlo_path = Path(opts.outdir) / "compiled_hlo.txt"
+        hlo_path.write_text(compiled.as_text())
+        print(f"wrote {hlo_path}", flush=True)
+    except Exception as e:  # pragma: no cover - best effort
+        print(f"HLO dump failed: {e}", flush=True)
 
     state = trainer.state
     pending = []
