@@ -36,23 +36,24 @@ he_normal = nn.initializers.he_normal
 
 
 def max_pool2x2(x: jnp.ndarray, padding: str = "VALID") -> jnp.ndarray:
-    """2x2 stride-2 VALID max pool via reshape+max instead of reduce_window.
+    """2x2 stride-2 max pool with a selectable lowering (A/B measured).
 
-    Why: XLA:TPU lowers reduce_window's gradient to select-and-scatter, a
-    windowed op the backend cannot fuse (measured 1.79 ms/step of the headline
-    train step, profiles/packed_v2_r3.txt).  For NON-OVERLAPPING windows the
-    same pool is a reshape + max whose backward is an ordinary compare/select
-    loop fusion at full HBM bandwidth.  Forward is bit-identical to
-    nn.max_pool; backward differs only on exact ties inside a window (this
-    form splits the gradient equally among tied maxima, select-and-scatter
-    routes it to the first — measure-zero for continuous activations,
-    symmetric-and-arguably-better for the post-ReLU zero plateaus bf16
-    produces).  Set BOXSEG_POOL_IMPL=window to restore the reduce_window
-    lowering (A/B hook).  Odd H/W falls back to nn.max_pool with the caller's
-    padding (for even sizes SAME == VALID, so the reshape form serves both;
-    the reference slim.max_pool2d default is VALID, NetworksV2/UNet.py:78)."""
+    Hypothesis tested round 4: reduce_window's gradient lowers to
+    select-and-scatter (1.79 ms/step of the headline train step,
+    profiles/packed_v2_r3.txt), so a reshape+max form — whose backward is an
+    ordinary compare/select loop fusion — should be faster.  MEASURED FALSE
+    on-chip: the reshape form benched 363.7 slices/s vs 374.8 for
+    reduce_window (bench.py, 2026-08-18) — the [B,H/2,2,W/2,2,C] reshape
+    breaks the T(8,128) tiling of both the forward and the incoming gradient,
+    and the forced relayouts cost more than select-and-scatter ever did.
+    Default is therefore the reduce_window lowering; set
+    BOXSEG_POOL_IMPL=reshape to get the reshape+max form (kept as the A/B
+    arm; forward bit-identical, backward differs only on exact in-window
+    ties — equal split vs first-wins).  The reference slim.max_pool2d default
+    is VALID (NetworksV2/UNet.py:78)."""
     b, h, w, c = x.shape
-    if h % 2 or w % 2 or os.environ.get("BOXSEG_POOL_IMPL") == "window":
+    if (h % 2 or w % 2
+            or os.environ.get("BOXSEG_POOL_IMPL", "window") != "reshape"):
         return nn.max_pool(x, (2, 2), strides=(2, 2), padding=padding)
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return x.max(axis=(2, 4))

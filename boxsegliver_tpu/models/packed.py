@@ -77,11 +77,13 @@ def packed_max_pool(x: jnp.ndarray) -> jnp.ndarray:
     height-pool + max over the width-phase channel pair.  Output UNPACKED
     [B, H/2, W/2, C] — exactly the next (128-channel) stage's input.
 
-    The height pool is a reshape+max (not reduce_window) so its backward is a
-    loop fusion, not select-and-scatter — see layers.max_pool2x2 for the
-    measured rationale and the BOXSEG_POOL_IMPL=window A/B hook."""
+    The height pool defaults to reduce_window: the reshape+max alternative
+    (backward = loop fusion instead of select-and-scatter) MEASURED SLOWER
+    in the packed train step (363.7 vs 374.8 slices/s — the reshape breaks
+    tiling; see layers.max_pool2x2).  BOXSEG_POOL_IMPL=reshape is the A/B
+    arm."""
     b, h, w2, c2 = x.shape
-    if h % 2 or os.environ.get("BOXSEG_POOL_IMPL") == "window":
+    if h % 2 or os.environ.get("BOXSEG_POOL_IMPL", "window") != "reshape":
         x = nn.max_pool(x, (2, 1), strides=(2, 1))
     else:
         x = x.reshape(b, h // 2, 2, w2, c2).max(axis=2)

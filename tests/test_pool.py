@@ -1,17 +1,23 @@
-"""Reshape-based non-overlapping max pool vs the reduce_window lowering.
+"""Max-pool lowering A/B: reduce_window (default) vs reshape+max.
 
-The 2D zoo's 2x2 stride-2 pools are lowered as reshape+max so their backward
-is a loop fusion instead of select-and-scatter (measured 1.79 ms/step of the
-headline train step, profiles/packed_v2_r3.txt).  These tests pin:
+Round-3 hypothesis: lowering the 2D zoo's 2x2 stride-2 pools as reshape+max
+(backward = loop fusion) should beat reduce_window (backward =
+select-and-scatter, 1.79 ms/step in profiles/packed_v2_r3.txt).  Round-4
+on-chip A/B MEASURED THE OPPOSITE: 363.7 (reshape) vs 374.8 (reduce_window)
+slices/s — the [B,H/2,2,W/2,2,C] reshape breaks T(8,128) tiling and the
+relayouts cost more than select-and-scatter.  The default is therefore the
+reduce_window lowering; BOXSEG_POOL_IMPL=reshape keeps the alternative
+reproducible.  These tests pin:
 
-- forward bit-equality with nn.max_pool for even shapes (SAME and VALID agree
-  there, so one oracle covers both call-site paddings)
+- forward bit-equality of both lowerings for even shapes (SAME and VALID
+  agree there, so one oracle covers both call-site paddings)
 - gradient equality on tie-free inputs (ties are the one documented
   deviation: reshape-max splits the gradient among tied maxima,
   select-and-scatter routes it to the first)
-- the BOXSEG_POOL_IMPL=window escape hatch restores reduce_window
-- packed_max_pool (height reshape-pool + phase max) still matches the
-  unpacked 2x2 pool exactly
+- the BOXSEG_POOL_IMPL=reshape arm lowers without reduce_window / without
+  select-and-scatter in the backward
+- packed_max_pool (height pool + phase max) matches the unpacked 2x2 pool
+  exactly under both lowerings
 """
 
 import os
@@ -34,14 +40,18 @@ def _tie_free(key, shape):
     return (perm / n).reshape(shape)
 
 
-def test_forward_matches_reduce_window():
+def test_forward_matches_reduce_window(monkeypatch):
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 24, 7))
     ref = nn.max_pool(x, (2, 2), strides=(2, 2))
-    got = max_pool2x2(x)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    got_default = max_pool2x2(x)
+    np.testing.assert_array_equal(np.asarray(got_default), np.asarray(ref))
+    monkeypatch.setenv("BOXSEG_POOL_IMPL", "reshape")
+    got_reshape = max_pool2x2(x)
+    np.testing.assert_array_equal(np.asarray(got_reshape), np.asarray(ref))
     # SAME == VALID on even shapes
     ref_same = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref_same))
+    np.testing.assert_array_equal(np.asarray(got_reshape),
+                                  np.asarray(ref_same))
 
 
 def test_forward_odd_fallback_matches_padding():
@@ -54,7 +64,8 @@ def test_forward_odd_fallback_matches_padding():
         np.asarray(nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")))
 
 
-def test_gradient_matches_on_tie_free_input():
+def test_gradient_matches_on_tie_free_input(monkeypatch):
+    monkeypatch.setenv("BOXSEG_POOL_IMPL", "reshape")
     x = _tie_free(jax.random.PRNGKey(2), (2, 8, 8, 5))
     g1 = jax.grad(lambda v: jnp.sum(max_pool2x2(v) ** 2))(x)
     g2 = jax.grad(lambda v: jnp.sum(
@@ -62,26 +73,29 @@ def test_gradient_matches_on_tie_free_input():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
 
 
-def test_window_env_hook(monkeypatch):
-    monkeypatch.setenv("BOXSEG_POOL_IMPL", "window")
+def test_impl_env_hook(monkeypatch):
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
     # distinct wrapped lambdas: jax caches traces per underlying callable,
     # and the env var is read at trace time
+    monkeypatch.delenv("BOXSEG_POOL_IMPL", raising=False)
     txt = jax.jit(lambda v: max_pool2x2(v) + 0.0).lower(x).as_text()
-    assert "reduce_window" in txt
-    monkeypatch.delenv("BOXSEG_POOL_IMPL")
+    assert "reduce_window" in txt  # default lowering
+    monkeypatch.setenv("BOXSEG_POOL_IMPL", "reshape")
     txt2 = jax.jit(lambda v: max_pool2x2(v) + 1.0).lower(x).as_text()
     assert "reduce_window" not in txt2
 
 
-def test_no_select_and_scatter_in_backward():
+def test_reshape_arm_has_no_select_and_scatter(monkeypatch):
+    monkeypatch.setenv("BOXSEG_POOL_IMPL", "reshape")
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 4))
     g = lambda v: jnp.sum(max_pool2x2(v))
     txt = jax.jit(jax.grad(g)).lower(x).as_text()
     assert "select_and_scatter" not in txt
 
 
-def test_packed_max_pool_matches_unpacked():
+@pytest.mark.parametrize("impl", ["window", "reshape"])
+def test_packed_max_pool_matches_unpacked(monkeypatch, impl):
+    monkeypatch.setenv("BOXSEG_POOL_IMPL", impl)
     x = _tie_free(jax.random.PRNGKey(5), (2, 16, 16, 6))
     ref = nn.max_pool(x, (2, 2), strides=(2, 2))
     got = packed_max_pool(pack_w(x))
@@ -93,9 +107,11 @@ def test_packed_max_pool_matches_unpacked():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
 
 
-def test_model_step_has_no_select_and_scatter():
-    """The UNet train-relevant forward+backward contains no
-    select-and-scatter after the pool rewrite (packed and unpacked)."""
+def test_model_step_reshape_arm_has_no_select_and_scatter(monkeypatch):
+    """The UNet forward+backward contains no select-and-scatter under the
+    reshape arm (packed and unpacked) — the property the A/B arm exists to
+    provide."""
+    monkeypatch.setenv("BOXSEG_POOL_IMPL", "reshape")
     from boxsegliver_tpu.models.unet import UNet
 
     for lane_pack in (False, True):
