@@ -68,6 +68,12 @@ BASE = [
 RUNGS = {
     # reference 101_unet family: plain appearance-only baseline
     "unet": {"task": "nf", "flags": ["--model", "UNet"]},
+    # quality arm for the bf16-Adam-moments perf lever (+2.7 slices/s on the
+    # headline bench): same config as `unet` but moments stored bfloat16
+    # (computed f32, solver.scale_by_adam_lowp).  Dice parity with `unet`
+    # here is the evidence gate for flipping the perf default.
+    "unet_bf16m": {"task": "nf", "flags": [
+        "--model", "UNet", "--opt_moment_dtype", "bfloat16"]},
     # reference 11x context-guided (density/hist) G-Net
     "gunet_ctx": {"task": "nf", "flags": [
         "--model", "GUNet", "--use_context", "--context_list", "hist", "200"]},
