@@ -164,6 +164,45 @@ class ConvNormAct(nn.Module):
         return x
 
 
+class _DtsConvTranspose(nn.Module):
+    """Param-holder twin of nn.ConvTranspose((2,2), strides (2,2), SAME)
+    lowered as matmul + depth-to-space — the A/B arm for the upconv-backward
+    experiment (BOXSEG_UPCONV_IMPL=dts).
+
+    With kernel 2, stride 2, SAME padding, every output pixel receives
+    exactly one kernel tap: out[2i+p, 2j+q] = x[i, j] @ k[1-p, 1-q]
+    (lax.conv_transpose pads (1,1) around the 2x-dilated input and correlates
+    without flipping — same phase identity _PackedConvTranspose pins).  So
+    the transpose conv IS a 1x1 matmul to 4*features channels followed by a
+    pixel-shuffle, whose backward is matmuls + one relayout instead of the
+    standalone spatial `reverse` of each decode activation that XLA emits
+    for the conv_transpose weight gradient (1.42 ms/step of the headline
+    profile, profiles/ r4).  Param tree identical to nn.ConvTranspose
+    (kernel [2,2,Cin,F] + bias [F])."""
+    features: int
+    use_bias: bool
+    weight_init: str
+    dtype: Optional[Dtype]
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        k = self.param("kernel", get_kernel_init(self.weight_init),
+                       (2, 2, cin, self.features))
+        # tap (1-p, 1-q) serves output phase (p, q); flip the 2x2 tap axes
+        # with slice+concat so not even a (tiny) kernel `reverse` op appears
+        kr = jnp.concatenate([k[1:], k[:1]], axis=0)
+        kr = jnp.concatenate([kr[:, 1:], kr[:, :1]], axis=1)
+        if self.dtype is not None:
+            x, kr = x.astype(self.dtype), kr.astype(self.dtype)
+        y = jnp.einsum("bhwc,pqco->bhpwqo", x, kr)
+        y = y.reshape(b, 2 * h, 2 * w, self.features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class UpConv(nn.Module):
     """slim.conv2d_transpose equivalent: transpose conv + ReLU, no norm
     (reference arg_scopes wrap normalizers around conv2d only)."""
@@ -177,10 +216,17 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(self.features, self.kernel, strides=self.strides,
-                             padding="SAME", use_bias=self.use_bias,
-                             kernel_init=get_kernel_init(self.weight_init),
-                             dtype=self.dtype)(x)
+        if (self.kernel == (2, 2) and self.strides == (2, 2)
+                and os.environ.get("BOXSEG_UPCONV_IMPL") == "dts"):
+            x = _DtsConvTranspose(self.features, self.use_bias,
+                                  self.weight_init, self.dtype,
+                                  name="ConvTranspose_0")(x)
+        else:
+            x = nn.ConvTranspose(self.features, self.kernel,
+                                 strides=self.strides,
+                                 padding="SAME", use_bias=self.use_bias,
+                                 kernel_init=get_kernel_init(self.weight_init),
+                                 dtype=self.dtype)(x)
         if self.act is not None:
             x = self.act(x)
         return x

@@ -350,9 +350,17 @@ class _PackedConvTranspose(nn.Module):
         k2 = jnp.concatenate([k[:, 1], k[:, 0]], axis=-1)[:, None]
         if self.dtype is not None:
             x, k2 = x.astype(self.dtype), k2.astype(self.dtype)
-        y = jax.lax.conv_transpose(
-            x, k2, strides=(2, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if os.environ.get("BOXSEG_UPCONV_IMPL") == "dts":
+            # height-phase matmul + interleave (reverse-free backward; see
+            # layers._DtsConvTranspose): out[2i+p] = x[i] @ k2[1-p]
+            b, h, w2, _ = x.shape
+            k2r = jnp.concatenate([k2[1:, 0], k2[:1, 0]], axis=0)
+            y = jnp.einsum("bhwc,pcd->bhpwd", x, k2r)
+            y = y.reshape(b, 2 * h, w2, 2 * self.features)
+        else:
+            y = jax.lax.conv_transpose(
+                x, k2, strides=(2, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + jnp.tile(b, 2).astype(y.dtype)
