@@ -89,6 +89,15 @@ def test_context_adds_over_spatial(ladder):
     assert _dice(both) >= _dice(sp) - 0.01
 
 
+def test_bf16_moments_quality_parity(ladder):
+    """The bf16-Adam-moments perf lever (+2.7 slices/s on the headline bench)
+    is admissible as a default only if it costs no quality: the unet_bf16m
+    rung (same config as unet, moments stored bfloat16) must land within 3
+    Dice points of the f32 run on the hard benchmark."""
+    bf16m, un = _need(ladder, "unet_bf16m", "unet")
+    assert _dice(bf16m) >= _dice(un) - 0.03
+
+
 def test_iin_patch_rung_recorded(ladder):
     """The nf2/iin tower's chip rung (per-lesion patch protocol; its Dice is
     NOT comparable to the whole-frame rungs — see tools/run_ladder.py RUNGS).
