@@ -14,6 +14,7 @@ with identical math, jit-able end to end:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -86,6 +87,29 @@ def weighted_sparse_softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarr
     """
     kwargs.pop("tag", None)
     num_classes = logits.shape[-1]
+    if (w_type.lower() in ("none", "numerical")
+            and os.environ.get("BOXSEG_LOSS_IMPL") == "gather"):
+        # A/B arm: the one_hot formulation materializes several [bs,...,C]
+        # f32 tensors whose C(=3)-minor layout fills 3/128 lanes (the r4
+        # profile's select_reduce/broadcast loss fusions ran at 124-132 GB/s
+        # — 5x under bandwidth).  For none/numerical weights the identical
+        # math is C-free gathers on [bs,...]:
+        #   ce = logsumexp(logits) - logits[labels];  w = numeric_w[labels]
+        logits = logits.astype(jnp.float32)
+        lbl = labels.astype(jnp.int32)
+        ce = (jax.nn.logsumexp(logits, axis=-1)
+              - jnp.take_along_axis(logits, lbl[..., None], axis=-1)[..., 0])
+        if w_type.lower() == "none":
+            return jnp.mean(ce)
+        nw = jnp.asarray(kwargs["numeric_w"], jnp.float32)
+        w = jnp.take(nw, lbl)
+        spatial_axes = tuple(range(1, ce.ndim))
+        area = 1.0
+        for ax in spatial_axes:
+            area = area * ce.shape[ax]
+        w = w / jnp.sum(w, axis=spatial_axes, keepdims=True) * area
+        nonzero = jnp.maximum(jnp.sum((w != 0).astype(jnp.float32)), 1.0)
+        return jnp.sum(w * ce) / nonzero
     one_hot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
     weights = compute_weights(w_type, one_hot, **kwargs)
     logits = logits.astype(jnp.float32)

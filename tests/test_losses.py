@@ -125,3 +125,28 @@ def test_focal_loss_runs():
     labels = jnp.asarray(rng.randint(0, 2, (8,)).astype(np.int32))
     val = float(losses.sparse_focal_loss(logits, labels))
     assert np.isfinite(val) and val > 0
+
+
+def test_wsce_gather_impl_matches_one_hot(monkeypatch):
+    """BOXSEG_LOSS_IMPL=gather (C-free gathers; the one_hot form's C(=3)-minor
+    tensors underfill TPU lanes 42x — r4 profile) must match the one_hot
+    formulation in value AND logits-gradient for none/numerical weights."""
+    import jax
+
+    rng = np.random.RandomState(11)
+    logits = jnp.asarray(rng.randn(2, 16, 16, 3), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 3, (2, 16, 16)), jnp.int32)
+
+    for w_type, kw in (("none", {}),
+                       ("numerical", {"numeric_w": [0.2, 0.4, 4.4]})):
+        monkeypatch.delenv("BOXSEG_LOSS_IMPL", raising=False)
+        f_ref = lambda lg: losses.weighted_sparse_softmax_cross_entropy(
+            lg, labels, w_type=w_type, **kw)
+        ref, gref = jax.value_and_grad(f_ref)(logits)
+        monkeypatch.setenv("BOXSEG_LOSS_IMPL", "gather")
+        f_gat = lambda lg: losses.weighted_sparse_softmax_cross_entropy(
+            lg, labels, w_type=w_type, **kw) + 0.0
+        got, ggot = jax.value_and_grad(f_gat)(logits)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
+                                   atol=1e-5, rtol=1e-4)

@@ -34,11 +34,11 @@ stage() {  # stage <name> <timeout_s> <cmd...>
 }
 
 stage bench_dts     2700 env BOXSEG_UPCONV_IMPL=dts python bench.py
+stage bench_gloss   2700 env BOXSEG_LOSS_IMPL=gather python bench.py
 stage bench_b64     2700 env BENCH_BATCH_SIZE=64 python bench.py
-stage bench_dts_b64 2700 env BOXSEG_UPCONV_IMPL=dts BENCH_BATCH_SIZE=64 python bench.py
-stage bench_combo   2700 env BOXSEG_UPCONV_IMPL=dts BENCH_BATCH_SIZE=64 BENCH_MOMENT_DTYPE=bfloat16 python bench.py
+stage bench_combo   2700 env BOXSEG_UPCONV_IMPL=dts BOXSEG_LOSS_IMPL=gather BENCH_BATCH_SIZE=64 BENCH_MOMENT_DTYPE=bfloat16 python bench.py
 
-stage profile_dts 2400 env BOXSEG_UPCONV_IMPL=dts python tools/profile_step.py --outdir /tmp/boxseg_profile_r4dts
-stage parse_dts    600 python tools/parse_profile.py /tmp/boxseg_profile_r4dts --top 70
+stage profile_combo 2400 env BOXSEG_UPCONV_IMPL=dts BOXSEG_LOSS_IMPL=gather python tools/profile_step.py --outdir /tmp/boxseg_profile_r4combo
+stage parse_combo    600 python tools/parse_profile.py /tmp/boxseg_profile_r4combo --top 70
 
 echo "=== [$(date +%H:%M:%S)] round-4 queue part 3 complete"
