@@ -36,6 +36,9 @@ ensure_compile_cache()
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", "32"))
 STEPS = int(os.environ.get("BENCH_STEPS", "16"))
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "6"))
+# K>1 fuses K train steps into one lax.scan dispatch (--steps_per_dispatch,
+# the TPU host-loop pattern) — A/B: BENCH_STEPS_PER_DISPATCH=8 python bench.py
+SPD = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "1"))
 BASELINE_PER_CHIP = 5000.0 / 8.0
 PEAK_BF16_TFLOPS = 197.0  # TPU v5e (device_kind "TPU v5 lite")
 METRIC = "unet2d_train_throughput_256x256"
@@ -63,6 +66,7 @@ def product_args(model_dir: str):
         # A/B hook for the optimizer-traffic experiment (PERF.md):
         # BENCH_MOMENT_DTYPE=bfloat16 python bench.py
         "--opt_moment_dtype", os.environ.get("BENCH_MOMENT_DTYPE", "float32"),
+        "--steps_per_dispatch", str(SPD),
     ])
 
 
@@ -125,25 +129,44 @@ def main():
     # two separate compiles can blow the driver's bench budget on a cold
     # cache).  The AOT-compiled object is the exact executable the trainer's
     # jit would run (same function, shardings, donation).
-    batch0 = next(it)
-    feats0 = jax.device_put(batch0, trainer._data_sharding)
+    import numpy as np
     rng0 = jax.random.PRNGKey(0)
-    compiled = trainer._train_step.lower(trainer.state, feats0, None,
-                                         rng0).compile()
-    flops_per_step = _step_flops(compiled)
+    if SPD > 1:
+        raws = [next(it) for _ in range(SPD)]
+        stacked0 = {k: np.stack([b[k] for b in raws]) for k in raws[0]}
+        feats0 = jax.device_put(stacked0, trainer._stacked_sharding)
+        compiled = trainer._multi_step.lower(trainer.state, feats0,
+                                             rng0).compile()
+        flops_per_step = _step_flops(compiled) / SPD
+    else:
+        batch0 = next(it)
+        feats0 = jax.device_put(batch0, trainer._data_sharding)
+        compiled = trainer._train_step.lower(trainer.state, feats0, None,
+                                             rng0).compile()
+        flops_per_step = _step_flops(compiled)
     state = trainer.state
 
     def run_window(n, state):
         """n product steps: device_put raw batch -> fused compiled step ->
-        bulk metric drain every drain_every steps (the product loop body)."""
-        pending = []
+        bulk metric drain every drain_every steps (the product loop body).
+        With SPD>1 the K-step scan executable dispatches n/K times."""
+        pending, done = [], 0
         t0 = time.perf_counter()
-        for _ in range(n):
-            batch = next(it)
-            feats = jax.device_put(batch, trainer._data_sharding)
-            state, metrics = compiled(state, feats, None, rng0)
+        while done < n:
+            if SPD > 1:
+                raws = [next(it) for _ in range(SPD)]
+                stacked = {k: np.stack([b[k] for b in raws])
+                           for k in raws[0]}
+                feats = jax.device_put(stacked, trainer._stacked_sharding)
+                state, metrics = compiled(state, feats, rng0)
+                done += SPD
+            else:
+                batch = next(it)
+                feats = jax.device_put(batch, trainer._data_sharding)
+                state, metrics = compiled(state, feats, None, rng0)
+                done += 1
             pending.append(metrics)
-            if len(pending) >= drain_every:
+            if len(pending) * SPD >= drain_every:
                 jax.device_get(pending)
                 pending = []
         if pending:

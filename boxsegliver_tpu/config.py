@@ -76,6 +76,15 @@ def add_arguments(parser: argparse.ArgumentParser):
                             "arrays are fetched to host in ONE bulk transfer "
                             "every N steps so the device pipeline never "
                             "stalls on a host round trip")
+    group.add_argument("--steps_per_dispatch", type=int, default=1,
+                       help="Fuse K train steps into one compiled dispatch "
+                            "(lax.scan over K stacked raw batches — the "
+                            "standard TPU host-loop pattern; hides per-step "
+                            "dispatch latency).  Requires the fused-"
+                            "preprocess train path; K>1 uses a different "
+                            "(equally deterministic) RNG stream than K=1. "
+                            "Host hooks see metrics with <=K extra steps of "
+                            "lag; epoch-eval cadence is quantized to K.")
     group.add_argument("--fix", action="store_true",
                        help="Remove norm+relu in spatial guide module")
 

@@ -48,6 +48,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 1 (batch) of a [K, batch, ...] multi-step stack across the
+    data axis (the scan axis K is unsharded)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_batch(tree, mesh: Mesh):
     """Device-put a pytree of host batch arrays with batch-axis sharding."""
     sharding = batch_sharding(mesh)

@@ -146,6 +146,28 @@ def make_train_step(model, solver: Solver, args, classes: Sequence[str],
     return step_fn
 
 
+def make_multi_train_step(step_fn):
+    """lax.scan over K fused train steps — ONE device dispatch executes K
+    steps back-to-back with zero host round trips (the standard TPU
+    host-loop pattern; hides the per-dispatch latency a remote/tunneled
+    runtime pays).  Takes [K, ...]-stacked raw batches (fused-preprocess
+    layout) and returns [K, ...]-stacked per-step metrics, so host hooks
+    can replay every step exactly as in the K=1 loop."""
+
+    def multi_fn(state: TrainState, stacked_features: Dict, rng):
+        def body(carry, feats):
+            state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, feats, None, step_rng)
+            return (state, rng), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng),
+                                           stacked_features)
+        return state, metrics
+
+    return multi_fn
+
+
 def make_eval_step(model):
     """Jittable forward returning softmax probs (reference predictions
     contract '<Class>Prob', core/estimator.py:281-332)."""
@@ -201,6 +223,23 @@ class Trainer:
         self._eval_step = jax.jit(
             make_eval_step(self.model),
             in_shardings=(rep, data), out_shardings=data)
+        self.steps_per_dispatch = max(
+            1, int(getattr(args, "steps_per_dispatch", 1)))
+        self._multi_step = None
+        if self.steps_per_dispatch > 1:
+            if preprocess_fn is None:
+                raise ValueError("--steps_per_dispatch > 1 requires the "
+                                 "fused-preprocess train path")
+            stacked = mesh_mod.stacked_batch_sharding(self.mesh)
+            self._stacked_sharding = stacked
+            self._multi_step = jax.jit(
+                make_multi_train_step(
+                    make_train_step(self.model, self.solver, args,
+                                    self.classes,
+                                    preprocess_fn=preprocess_fn)),
+                in_shardings=(rep, stacked, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,))
         self._host_step = 0  # fresh state starts at step 0; restore() syncs
 
         self.ckpt = CheckpointManager(args.model_dir,
@@ -312,6 +351,18 @@ class Trainer:
         self._host_step += 1
         return metrics
 
+    def train_multi_step(self, raw_batches: Sequence[Dict]):
+        """Stack K raw host batches and dispatch the fused K-step scan
+        (ONE device round trip executes K train steps).  Returns DEVICE
+        metrics stacked [K, ...] along axis 0."""
+        stacked = {k: np.stack([b[k] for b in raw_batches])
+                   for k in raw_batches[0]}
+        feats = jax.device_put(stacked, self._stacked_sharding)
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.state, metrics = self._multi_step(self.state, feats, step_rng)
+        self._host_step += len(raw_batches)
+        return metrics
+
     def train(self, dataset, max_steps: int, eval_fn=None,
               batches_per_epoch: Optional[int] = None):
         """Main loop.  Steps are dispatched back-to-back; metric DEVICE arrays
@@ -336,18 +387,40 @@ class Trainer:
                                  int(getattr(self.args, "metrics_fetch_steps",
                                              0) or 16)))
         step = start
-        pending = []  # [(step, device_metrics)] awaiting one bulk fetch
+        pending = []  # [(last_step, device_metrics, k)] awaiting one fetch
+        stack_buf = []  # raw batches awaiting a K-step dispatch
         for batch in iter(dataset):
-            if isinstance(batch, tuple):
-                features, labels = batch
-            else:  # raw host dict → fused-preprocess path
-                features = jax.device_put(batch, self._data_sharding)
-                labels = None
-            metrics = self.train_step(features, labels)
-            step = self.global_step
-            pending.append((step, metrics))
+            if self._multi_step is not None:
+                K = self.steps_per_dispatch
+                remaining = max_steps - self.global_step
+                stack_buf.append(batch)
+                if len(stack_buf) < min(K, remaining):
+                    continue
+                if len(stack_buf) == K:
+                    metrics = self.train_multi_step(stack_buf)
+                    k_done = K
+                else:  # < K steps left: single-step remainder (exact stop)
+                    for b in stack_buf[:-1]:
+                        feats = jax.device_put(b, self._data_sharding)
+                        m = self.train_step(feats, None)
+                        pending.append((self.global_step, m, 1))
+                    feats = jax.device_put(stack_buf[-1], self._data_sharding)
+                    metrics = self.train_step(feats, None)
+                    k_done = 1
+                stack_buf = []
+                pending.append((self.global_step, metrics, k_done))
+            else:
+                if isinstance(batch, tuple):
+                    features, labels = batch
+                else:  # raw host dict → fused-preprocess path
+                    features = jax.device_put(batch, self._data_sharding)
+                    labels = None
+                metrics = self.train_step(features, labels)
+                pending.append((self.global_step, metrics, 1))
+            prev, step = step, self.global_step
 
-            at_epoch = step % bpe == 0 and eval_fn is not None
+            # epoch boundary crossed within this dispatch window?
+            at_epoch = eval_fn is not None and step // bpe > prev // bpe
             done = step >= max_steps
             if len(pending) >= fetch_every or at_epoch or done:
                 self._drain(pending)
@@ -361,13 +434,18 @@ class Trainer:
 
     def _drain(self, pending):
         """One bulk device_get of the window's metrics, then replay the host
-        hooks per step in order."""
+        hooks per step in order (K-step dispatch entries are unstacked)."""
         if not pending:
             return
-        host_metrics = jax.device_get([m for _, m in pending])
-        first = pending[0][0]
-        for (step, _), metrics in zip(pending, host_metrics):
-            self._after_step(step, metrics)
+        host_metrics = jax.device_get([m for _, m, _ in pending])
+        first = pending[0][0] - pending[0][2] + 1
+        for (last_step, _, k), metrics in zip(pending, host_metrics):
+            if k == 1:
+                self._after_step(last_step, metrics)
+            else:
+                for i in range(k):
+                    self._after_step(last_step - k + 1 + i,
+                                     {kk: vv[i] for kk, vv in metrics.items()})
         last = pending[-1][0]
         # periodic checkpoint if the window crossed a save boundary
         if last // self.ckpt.save_interval_steps > (first - 1) // self.ckpt.save_interval_steps:

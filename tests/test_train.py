@@ -340,3 +340,57 @@ def test_load_weights_from_sibling_experiment(tmp_path):
                     jax.tree_util.tree_leaves(dst_params)):
         np.testing.assert_allclose(a, b, atol=1e-6)
     dst.ckpt.close()
+
+
+def test_trainer_multi_step_dispatch(tmp_path):
+    """--steps_per_dispatch K: the K-step lax.scan dispatch trains to the
+    exact step count (single-step remainder), crosses epoch-eval boundaries
+    once per crossing, replays per-step metrics to host hooks, and learns."""
+    args = _args(model_dir=str(tmp_path / "model"), batch_size=8,
+                 batches_per_epoch=5, log_step=100, steps_per_dispatch=4,
+                 metrics_fetch_steps=8)
+    model = _MicroNet(num_classes=3)
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(8, 16, 16, 3)).astype(np.float32)
+    labels = (images[..., 0] > 0).astype(np.int32)
+    raw = {"images": images, "labels": labels}
+
+    def preprocess(batch, key):
+        return {"images": batch["images"]}, batch["labels"]
+
+    def dataset():
+        while True:
+            yield raw
+
+    evals = []
+
+    def eval_fn(trainer):
+        evals.append(trainer.global_step)
+        return {"Liver/Dice": 0.5}
+
+    tr = Trainer(model, args, classes=["Background", "Liver", "Tumor"],
+                 sample_features={"images": images}, num_replicas=2,
+                 save_ckpt_steps=1000, preprocess_fn=preprocess)
+    assert tr._multi_step is not None
+    first = None
+    tr.train(dataset(), max_steps=10, eval_fn=eval_fn)
+    # dispatches end at steps 4, 8, then 2 single-step remainders -> 10;
+    # epoch boundaries (bpe=5) are crossed inside the windows ending at 8
+    # (crosses 5) and 10 (crosses 10)
+    assert tr.global_step == 10
+    assert evals == [8, 10]
+    # host hooks replayed every step (loss meter saw all 10)
+    assert tr.loss_meter.count == 10
+    first = tr.loss_meter.avg
+    tr.train(dataset(), max_steps=10, eval_fn=eval_fn)  # resume-skip
+    assert tr.global_step == 10
+    tr.ckpt.close()
+
+
+def test_trainer_multi_step_requires_fused_path(tmp_path):
+    args = _args(model_dir=str(tmp_path / "m2"), steps_per_dispatch=2)
+    model = _MicroNet(num_classes=3)
+    images = np.zeros((8, 16, 16, 3), np.float32)
+    with pytest.raises(ValueError, match="fused-preprocess"):
+        Trainer(model, args, classes=["Background", "Liver", "Tumor"],
+                sample_features={"images": images}, num_replicas=2)
