@@ -36,7 +36,8 @@ stage() {  # stage <name> <timeout_s> <cmd...>
 stage bench_dts     2700 env BOXSEG_UPCONV_IMPL=dts python bench.py
 stage bench_gloss   2700 env BOXSEG_LOSS_IMPL=gather python bench.py
 stage bench_b64     2700 env BENCH_BATCH_SIZE=64 python bench.py
-stage bench_combo   2700 env BOXSEG_UPCONV_IMPL=dts BOXSEG_LOSS_IMPL=gather BENCH_BATCH_SIZE=64 BENCH_MOMENT_DTYPE=bfloat16 python bench.py
+stage bench_spd8    2700 env BENCH_STEPS_PER_DISPATCH=8 python bench.py
+stage bench_combo   2700 env BOXSEG_UPCONV_IMPL=dts BOXSEG_LOSS_IMPL=gather BENCH_BATCH_SIZE=64 BENCH_MOMENT_DTYPE=bfloat16 BENCH_STEPS_PER_DISPATCH=8 python bench.py
 
 stage profile_combo 2400 env BOXSEG_UPCONV_IMPL=dts BOXSEG_LOSS_IMPL=gather python tools/profile_step.py --outdir /tmp/boxseg_profile_r4combo
 stage parse_combo    600 python tools/parse_profile.py /tmp/boxseg_profile_r4combo --top 70
