@@ -120,6 +120,17 @@ def make_nf_hard_case(rng: np.random.Generator,
       reference's finding that context+spatial beats spatial-only
       (experiments.md:40-41,120); before round 4 both blob families shared
       one band and context was provably dead weight on this benchmark.
+    - the background OUTSIDE the body is low-level MRI-like noise, never
+      exactly zero (v3).  Real NF frames have no exact-zero pixels, which is
+      why the reference gets away with its own train/eval z-score
+      inconsistency (masked nonzero z-score at train, utils/image_ops.py:
+      25-33, vs UNMASKED per-slice z-score at eval, NF/input_pipeline_g.py:
+      699-705 — reproduced verbatim in evaluators/eval_loader.py).  A
+      zero background turns that inconsistency into a catastrophic eval
+      domain shift (background -mean/std ~ -3 sigma vs 0 seen in training:
+      the round-4 ladder collapse, all rungs <0.15 Dice with train Dice
+      0.9+); a nonzero background makes the masked and unmasked forms
+      equivalent, exactly as on real data.
     - per-case global gain jitter makes normalization matter.
 
     Mirrors the difficulty axis of the reference's real-NF ladder
@@ -141,6 +152,8 @@ def make_nf_hard_case(rng: np.random.Generator,
     volume[body] = 300.0
     volume *= _smooth_field(rng, shape, 0.8, 1.25)
 
+    distractors = np.zeros(shape, bool)
+
     def add_blob(labeled: bool, delta: float):
         ty = cy + rng.uniform(-0.8, 0.8) * 0.4 * h
         tx = cx + rng.uniform(-0.8, 0.8) * 0.4 * w
@@ -154,6 +167,8 @@ def make_nf_hard_case(rng: np.random.Generator,
         volume[...] += delta * blob * body
         if labeled:
             labels[(dist2 <= 1.0) & body] = 1
+        else:
+            distractors[(dist2 <= 1.0) & body] = True
 
     # Two disjoint intensity bands; which one is the lesion band flips per
     # case, so appearance alone cannot learn "bright blob = lesion" but the
@@ -169,12 +184,19 @@ def make_nf_hard_case(rng: np.random.Generator,
         add_blob(False, float(rng.normal(mu_distractor, 6.0)))
 
     volume += rng.normal(0.0, 55.0, shape).astype(np.float32) * body
-    volume *= float(rng.uniform(0.75, 1.3))       # per-case gain jitter
+    # v3: MRI-like nonzero background (see docstring); >= 8 so the uint16
+    # cache keeps every pixel strictly positive
+    bg = 8.0 + np.abs(rng.normal(0.0, 15.0, shape)).astype(np.float32)
+    volume = np.where(body, volume, bg)
+    gain = float(rng.uniform(0.75, 1.3))          # per-case gain jitter
+    volume *= gain
     spacing_ = (float(rng.uniform(3.0, 6.0)), 1.0, 1.0)
     vol16 = np.clip(volume, 0, 1000).astype(np.int16)
     if return_info:
         return vol16, labels, spacing_, {"mu_lesion": mu_lesion,
-                                         "mu_distractor": mu_distractor}
+                                         "mu_distractor": mu_distractor,
+                                         "gain": gain, "body": body,
+                                         "distractors": distractors}
     return vol16, labels, spacing_
 
 

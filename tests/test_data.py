@@ -279,8 +279,8 @@ def test_prepare_glcm_subcommand(tmp_path, capsys):
         assert feats.shape[-1] == 96  # 8 props x 12 distance/angle combos
 
 
-def test_hard_case_band_v2_properties():
-    """The band-v2 hard generator: lesion and distractor intensity deltas sit
+def test_hard_case_band_properties():
+    """The band-v2+ hard generator: lesion and distractor intensity deltas sit
     in DISJOINT per-case bands, the band assignment flips across cases (so the
     marginal is symmetric and appearance alone stays capped), and the signal
     is physically present in the written volume — the per-case GT-region
@@ -288,20 +288,57 @@ def test_hard_case_band_v2_properties():
     what makes gunet_both > gunet_sp reproducible (reference
     experiments.md:40-41,120)."""
     rng = np.random.default_rng(7)
-    mus, est, flips = [], [], []
-    for _ in range(10):
+    flips, order_ok = [], []
+    for _ in range(16):
         vol, lab, _sp, info = synthetic.make_nf_hard_case(
             rng, shape=(16, 96, 96), return_info=True)
         mu_l, mu_d = info["mu_lesion"], info["mu_distractor"]
         assert abs(mu_l - mu_d) >= 20.0          # disjoint bands
         flips.append(mu_l > mu_d)
-        assert lab.sum() > 0
-        body = vol[vol > 0]
-        body_med = float(np.median(body))
-        gain = body_med / 300.0                  # body baseline is 300
-        est.append((float(vol[lab == 1].mean()) - body_med) / gain)
-        mus.append(mu_l)
+        assert lab.sum() > 0 and info["distractors"].sum() > 0
+        # the written volume must preserve the band ordering: GT-region mean
+        # vs distractor-region mean sorts the same way as the drawn bands —
+        # this is exactly the signal the per-case GT histogram (hist context
+        # feature) carries and the distractor twins lack
+        les = float(vol[lab == 1].mean())
+        dis = float(vol[info["distractors"]].mean())
+        order_ok.append((les > dis) == (mu_l > mu_d))
     assert any(flips) and not all(flips)         # band assignment flips
-    # the measured per-case lesion delta tracks the drawn band center
-    r = np.corrcoef(np.asarray(mus), np.asarray(est))[0, 1]
-    assert r > 0.8, (r, mus, est)
+    assert np.mean(order_ok) >= 14 / 16, order_ok
+
+
+def test_hard_case_background_never_zero():
+    """v3: the hard generator must have NO exact-zero pixels, like real NF
+    MRI.  A zero background turns the reference-parity UNMASKED eval z-score
+    (evaluators/eval_loader.py nf_zscore) into a train/eval domain shift —
+    the round-4 ladder collapse (all rungs <0.15 Dice at eval with 0.9+
+    train Dice)."""
+    rng = np.random.default_rng(11)
+    vol, lab, _sp = synthetic.make_nf_hard_case(rng, shape=(8, 64, 64))
+    assert (vol > 0).all(), f"{(vol == 0).sum()} exact-zero pixels"
+
+
+def test_hard_case_train_eval_zscore_consistent(tmp_path):
+    """End-to-end pin of the round-4 eval-collapse fix: the masked TRAIN
+    z-score (data/pipeline._augment_tail, zeros stay 0) and the UNMASKED
+    reference-parity EVAL z-score (evaluators/eval_loader.parse_case_eval
+    nf_zscore) must agree on the stored hard-benchmark volumes.  On v2 data
+    (zero background) they disagreed by ~3 sigma on ~45% of pixels."""
+    from boxsegliver_tpu.data.meta import load_meta
+    from boxsegliver_tpu.evaluators.eval_loader import parse_case_eval
+
+    root = synthetic.make_synthetic_dataset(
+        tmp_path / "ds", n_cases=1, shape=(8, 64, 64), modality="nf",
+        variant="hard", seed=3)
+    meta = load_meta(root)[0]
+    case = parse_case_eval(meta, root, im_channel=1, parse_label=False,
+                           norm="nf_zscore", whole_frame=True)
+    stored = np.load(root / "volume-0" / "volume.npy").astype(np.float32)
+    for z in range(stored.shape[0]):
+        img = stored[z]
+        region = (img > 0).astype(np.float32)
+        cnt = max(region.sum(), 1.0)
+        mean = (img * region).sum() / cnt
+        var = (np.square(img - mean) * region).sum() / cnt
+        train_z = (img - region * mean) / (region * np.sqrt(var) + 1e-8)
+        np.testing.assert_allclose(case.volume[z], train_z, atol=5e-2)

@@ -41,8 +41,14 @@ DATA_ROOT = Path("/tmp/boxseg_ladder%s" % ("" if RES == 128 else f"_{RES}"))
 # per-case bands (flipped randomly per case) so the histogram context
 # carries real signal — verdict r3 weak #2 (gunet_both <= gunet_sp was
 # explained by context being provably dead weight under the v1 generator).
-# The name bump guarantees a stale v1 dataset dir is never reused.
-DATASET = "hard_nf_v2"
+# v3: nonzero MRI-like background (the v2 zero background turned the
+# reference-parity UNMASKED eval z-score into a train/eval domain shift:
+# every rung collapsed to <0.15 Dice at eval with 0.9+ train Dice —
+# synthetic.make_nf_hard_case docstring) + 16 cases so the per-case band
+# rule is learnable rather than memorizable (12 train / 4 test at fold 0).
+# The name bump guarantees a stale v1/v2 dataset dir is never reused.
+DATASET = "hard_nf_v3"
+N_CASES = 16
 MODEL_ROOT = DATA_ROOT / "model_dir"
 LEDGER = REPO / "experiments" / "ladder.json"
 # 2000 steps fits one 590 s process window (the TPU tunnel recompiles the
@@ -116,7 +122,7 @@ def prepare():
     if (root / "meta.json").exists():
         print("dataset exists:", root)
         return
-    make_synthetic_dataset(root, n_cases=8, shape=(32, RES, RES),
+    make_synthetic_dataset(root, n_cases=N_CASES, shape=(32, RES, RES),
                            modality="nf", variant="hard", seed=SEED,
                            k_split=4)
     print("dataset:", root)
@@ -166,8 +172,8 @@ def eval_rung(rung: str) -> dict:
     meta = ledger.get("_meta", {})
     # rungs not yet recorded stay declared-pending so tests/test_ladder.py
     # skips them; recorded rungs must never go missing again (strict floors)
-    meta.update({"dataset": "make_nf_hard_case(band-v2) seed %d, 8 cases, "
-                 "%d^2, fold 0" % (SEED, RES), "steps": TOTAL_STEPS,
+    meta.update({"dataset": "make_nf_hard_case(band-v3) seed %d, %d cases, "
+                 "%d^2, fold 0" % (SEED, N_CASES, RES), "steps": TOTAL_STEPS,
                  "res": RES,
                  "pending": sorted(r for r in RUNGS if r not in ledger)})
     ledger["_meta"] = meta
