@@ -33,7 +33,9 @@ from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
 
 ensure_compile_cache()
 
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", "32"))
+# 64 measured +0.9% over 32 on-chip (378.0 vs 374.8, round-4 A/B matrix:
+# PERF.md round-4 verdicts) — amortizes the latency-bound tail fusions
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", "64"))
 STEPS = int(os.environ.get("BENCH_STEPS", "16"))
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "6"))
 # K>1 fuses K train steps into one lax.scan dispatch (--steps_per_dispatch,
@@ -137,7 +139,10 @@ def main():
         feats0 = jax.device_put(stacked0, trainer._stacked_sharding)
         compiled = trainer._multi_step.lower(trainer.state, feats0,
                                              rng0).compile()
-        flops_per_step = _step_flops(compiled) / SPD
+        # XLA cost analysis reports the lax.scan BODY once, not x SPD
+        # (measured: SPD=8 run showed exactly 1/8 the SPD=1 mfu when this
+        # divided by SPD) — the scan executable's flops ARE per step
+        flops_per_step = _step_flops(compiled)
     else:
         batch0 = next(it)
         feats0 = jax.device_put(batch0, trainer._data_sharding)
