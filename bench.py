@@ -33,9 +33,9 @@ from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
 
 ensure_compile_cache()
 
-# 64 measured +0.9% over 32 on-chip (378.0 vs 374.8, round-4 A/B matrix:
-# PERF.md round-4 verdicts) — amortizes the latency-bound tail fusions
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", "64"))
+# batch amortizes the latency-bound tail fusions; measured on-chip
+# (round-4 A/B matrix, PERF.md): 32 → 374.8, 64 → 378.0, 128 → 379.6
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", "128"))
 STEPS = int(os.environ.get("BENCH_STEPS", "16"))
 WINDOWS = int(os.environ.get("BENCH_WINDOWS", "6"))
 # K>1 fuses K train steps into one lax.scan dispatch (--steps_per_dispatch,
