@@ -36,7 +36,14 @@ sys.path.insert(0, str(REPO))
 # are kept under their own res field — cross-res comparisons were verdict
 # weak #4).  Each resolution gets its own dataset/model dirs + ledger keys.
 RES = int(os.environ.get("LADDER_RES", "256"))
-DATA_ROOT = Path("/tmp/boxseg_ladder%s" % ("" if RES == 128 else f"_{RES}"))
+# Round-5: the ladder scratch moved OFF /tmp — the driver recycles /tmp
+# between sessions and (observed round 4->5) the recycler can race a
+# RUNNING prepare, deleting volumes seconds after they are written (the
+# part-9 seed-2 replication died this way: only files written in the final
+# second survived).  A gitignored repo-local dir survives the recycler.
+SCRATCH = Path(os.environ.get(
+    "BOXSEG_SCRATCH", str(Path(__file__).resolve().parent.parent / ".scratch")))
+DATA_ROOT = SCRATCH / ("boxseg_ladder%s" % ("" if RES == 128 else f"_{RES}"))
 # v2: make_nf_hard_case draws lesion/distractor deltas from disjoint
 # per-case bands (flipped randomly per case) so the histogram context
 # carries real signal — verdict r3 weak #2 (gunet_both <= gunet_sp was
@@ -117,14 +124,31 @@ def run(cmd, **kw):
 
 
 def prepare():
+    """Idempotent dataset prep.  A `.complete` sentinel (written only after
+    the FULL generation — volumes, meta, folds, features — returns) gates
+    reuse; anything else (partial write from a timeout or the /tmp recycler
+    racing a previous run) is wiped and regenerated from scratch.  meta.json
+    alone is NOT proof of completeness: round 4's part-9 queue found a dir
+    with meta.json but volumes deleted out from under it."""
+    import shutil
+
     from boxsegliver_tpu.data.synthetic import make_synthetic_dataset
     root = DATA_ROOT / DATASET
-    if (root / "meta.json").exists():
-        print("dataset exists:", root)
-        return
+    sentinel = root / ".complete"
+    if sentinel.exists():
+        missing = [pid for pid in range(N_CASES)
+                   if not (root / f"volume-{pid}" / "volume.npy").exists()]
+        if not missing:
+            print("dataset exists:", root)
+            return
+        print("dataset marked complete but volumes missing:", missing)
+    if root.exists():
+        print("wiping partial dataset:", root)
+        shutil.rmtree(root)
     make_synthetic_dataset(root, n_cases=N_CASES, shape=(32, RES, RES),
                            modality="nf", variant="hard", seed=SEED,
                            k_split=4)
+    sentinel.write_text("ok\n")
     print("dataset:", root)
 
 
