@@ -69,6 +69,10 @@ def product_args(model_dir: str):
         # BENCH_MOMENT_DTYPE=bfloat16 python bench.py
         "--opt_moment_dtype", os.environ.get("BENCH_MOMENT_DTYPE", "float32"),
         "--steps_per_dispatch", str(SPD),
+        # A/B hook: BENCH_METRICS_EVERY=1 restores every-step train-metric
+        # compute (round-5 default is the reference cost model: metrics only
+        # on log-step-fetched steps, lax.cond-gated — see trainer.py)
+        "--metrics_train_steps", os.environ.get("BENCH_METRICS_EVERY", "0"),
     ])
 
 

@@ -71,6 +71,13 @@ def add_arguments(parser: argparse.ArgumentParser):
     group.add_argument("--compute_dtype", type=str, default="bfloat16",
                        choices=["bfloat16", "float32"],
                        help="Activation compute dtype (params stay float32)")
+    group.add_argument("--metrics_train_steps", type=int, default=0,
+                       help="Cadence for COMPUTING in-graph train metrics "
+                            "(lax.cond-gated; structure is step-invariant, "
+                            "zeros off-cadence). 0 = follow --log_step — the "
+                            "reference's TF1 cost model, which only executes "
+                            "the metric subgraph on fetched steps. 1 = every "
+                            "step.")
     group.add_argument("--metrics_fetch_steps", type=int, default=16,
                        help="Train-loop metric drain cadence: device metric "
                             "arrays are fetched to host in ONE bulk transfer "

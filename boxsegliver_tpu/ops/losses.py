@@ -88,6 +88,41 @@ def weighted_sparse_softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarr
     kwargs.pop("tag", None)
     num_classes = logits.shape[-1]
     if (w_type.lower() in ("none", "numerical")
+            and os.environ.get("BOXSEG_LOSS_IMPL") == "chan"):
+        # A/B arm (round 5): channel-UNROLLED weighted SCE.  The one_hot
+        # formulation materializes several f32 [bs,...,C] tensors whose
+        # C(=3)-minor T(8,128) layout fills 3/128 lanes (r4 profile: the
+        # select_reduce/broadcast loss fusions ran at 124-132 GB/s); the
+        # gather arm fixed the layout but TPU gathers lost 99 slices/s.
+        # This form keeps every intermediate [bs,...]-shaped (W-minor, full
+        # lanes) by unrolling the tiny class axis in Python: identical math
+        #   ce = logsumexp(logits) - logits[label]
+        #   w  = numeric_w[label]
+        # with logsumexp/selection built from per-class [bs,...] slices, so
+        # autodiff emits per-class full-lane backward ops too.
+        chans = [logits[..., c].astype(jnp.float32)
+                 for c in range(num_classes)]
+        m = chans[0]
+        for x in chans[1:]:
+            m = jnp.maximum(m, x)
+        sumexp = sum(jnp.exp(x - m) for x in chans)
+        lse = m + jnp.log(sumexp)
+        lbl = labels.astype(jnp.int32)
+        picked = sum(jnp.where(lbl == c, x, 0.0)
+                     for c, x in enumerate(chans))
+        ce = lse - picked
+        if w_type.lower() == "none":
+            return jnp.mean(ce)
+        nw = [float(v) for v in kwargs["numeric_w"]]
+        w = sum(jnp.where(lbl == c, v, 0.0) for c, v in enumerate(nw))
+        spatial_axes = tuple(range(1, ce.ndim))
+        area = 1.0
+        for ax in spatial_axes:
+            area = area * ce.shape[ax]
+        w = w / jnp.sum(w, axis=spatial_axes, keepdims=True) * area
+        nonzero = jnp.maximum(jnp.sum((w != 0).astype(jnp.float32)), 1.0)
+        return jnp.sum(w * ce) / nonzero
+    if (w_type.lower() in ("none", "numerical")
             and os.environ.get("BOXSEG_LOSS_IMPL") == "gather"):
         # A/B arm: the one_hot formulation materializes several [bs,...,C]
         # f32 tensors whose C(=3)-minor layout fills 3/128 lanes (the r4

@@ -16,8 +16,11 @@ core/models.py:224-281 model_fn + core/solver.py:221-243):
 - The plateau LR controller runs on host and writes `lr_scale` into the train
   state (no recompile; reference assigns a graph variable,
   core/solver.py:246-254).
-- In-graph train metrics (<Class>/<Metric> keys) are returned every step like
-  the reference's logging contract (core/estimator.py:677-689).
+- In-graph train metrics (<Class>/<Metric> keys) are returned every step with
+  a step-invariant structure, but COMPUTED only at the logging cadence
+  (lax.cond), mirroring the reference's actual cost model: TF1 only executes
+  the metric subgraph on steps LoggingTensorHook fetches it
+  (core/estimator.py:677-689).  --metrics_train_steps 1 restores every-step.
 """
 
 from __future__ import annotations
@@ -105,6 +108,24 @@ def make_train_step(model, solver: Solver, args, classes: Sequence[str],
     tx = solver.make_transform()
     loss_fn = make_loss_fn(args, classes)
     metric_names = list(getattr(args, "metrics_train", ["Dice"]))
+    # Train-metric cadence (--metrics_train_steps; 0 = follow log_step).
+    # The reference's TF1 estimator only EXECUTES the <Class>/<Metric>
+    # subgraph on steps where LoggingTensorHook fetches it (every log_step);
+    # computing them every step was a cost the reference never paid.  A
+    # lax.cond gates the softmax+metric work to the same cadence; the dict
+    # structure stays step-invariant (zeros off-cadence) so host hooks and
+    # the bulk drain are unchanged.  Set 1 to compute every step.
+    metrics_every = int(getattr(args, "metrics_train_steps", 0) or 0)
+    if metrics_every <= 0:
+        metrics_every = max(1, int(getattr(args, "log_step", 1)))
+    metric_keys = [f"{classes[i]}/{m}" for i in range(1, len(classes))
+                   for m in metric_names]
+
+    def train_metrics(logits, labels):
+        probs = jax.nn.softmax(logits, axis=-1)
+        tm = metrics_mod.build_train_metrics(probs, labels, classes,
+                                             metric_names)
+        return tuple(jnp.asarray(tm[k], jnp.float32) for k in metric_keys)
 
     def step_fn(state: TrainState, features: Dict, labels, rng):
         if preprocess_fn is not None:
@@ -136,11 +157,20 @@ def make_train_step(model, solver: Solver, args, classes: Sequence[str],
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
 
-        probs = jax.nn.softmax(logits, axis=-1)
         metrics = {"total_loss": total, "data_loss": data_loss,
                    "learning_rate": lr}
-        metrics.update(metrics_mod.build_train_metrics(
-            probs, labels, classes, metric_names))
+        if metric_keys:
+            if metrics_every == 1:
+                vals = train_metrics(logits, labels)
+            else:
+                new_step = state.step + 1
+                need = jnp.logical_or(new_step % metrics_every == 0,
+                                      new_step == 1)
+                vals = jax.lax.cond(
+                    need, lambda: train_metrics(logits, labels),
+                    lambda: tuple(jnp.zeros((), jnp.float32)
+                                  for _ in metric_keys))
+            metrics.update(dict(zip(metric_keys, vals)))
         return new_state, metrics
 
     return step_fn

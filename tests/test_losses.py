@@ -150,3 +150,29 @@ def test_wsce_gather_impl_matches_one_hot(monkeypatch):
         np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_wsce_chan_impl_matches_one_hot(monkeypatch):
+    """BOXSEG_LOSS_IMPL=chan (round-5 arm: class axis unrolled in Python so
+    every intermediate is [bs,...]-shaped / full-lane, avoiding both the
+    C(=3)-minor f32 tensors AND the TPU gathers that sank the gather arm)
+    must match the one_hot formulation in value and logits-gradient."""
+    import jax
+
+    rng = np.random.RandomState(12)
+    for shape in ((2, 16, 16), (2, 4, 8, 8)):  # 2D and 3D spatial
+        logits = jnp.asarray(rng.randn(*shape, 3), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, 3, shape), jnp.int32)
+        for w_type, kw in (("none", {}),
+                           ("numerical", {"numeric_w": [0.2, 0.4, 4.4]})):
+            monkeypatch.delenv("BOXSEG_LOSS_IMPL", raising=False)
+            f_ref = lambda lg: losses.weighted_sparse_softmax_cross_entropy(
+                lg, labels, w_type=w_type, **kw)
+            ref, gref = jax.value_and_grad(f_ref)(logits)
+            monkeypatch.setenv("BOXSEG_LOSS_IMPL", "chan")
+            f_chan = lambda lg: losses.weighted_sparse_softmax_cross_entropy(
+                lg, labels, w_type=w_type, **kw) + 0.0
+            got, ggot = jax.value_and_grad(f_chan)(logits)
+            np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
+                                       atol=1e-5, rtol=1e-4)

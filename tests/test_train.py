@@ -394,3 +394,39 @@ def test_trainer_multi_step_requires_fused_path(tmp_path):
     with pytest.raises(ValueError, match="fused-preprocess"):
         Trainer(model, args, classes=["Background", "Liver", "Tumor"],
                 sample_features={"images": images}, num_replicas=2)
+
+
+def test_metrics_train_steps_cadence(tmp_path):
+    """Round-5: in-graph train metrics are lax.cond-gated to the logging
+    cadence (the reference TF1 cost model — the metric subgraph only runs on
+    fetched steps).  Off-cadence steps return structural zeros; on-cadence
+    (and step 1) return the same values as the every-step mode, and the
+    cadence has NO effect on the training trajectory."""
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(8, 16, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, (8, 16, 16)).astype(np.int32)
+    feats = {"images": images}
+    classes = ["Background", "Liver", "Tumor"]
+
+    def run(metrics_every, n_steps=4):
+        args = _args(model_dir=str(tmp_path / f"m{metrics_every}"),
+                     batch_size=8, log_step=2,
+                     metrics_train_steps=metrics_every)
+        tr = Trainer(_MicroNet(3), args, classes=classes,
+                     sample_features=feats, num_replicas=2)
+        out = [tr.train_step(feats, labels) for _ in range(n_steps)]
+        return [{k: float(v) for k, v in m.items()} for m in out], tr
+
+    every, _ = run(1)
+    gated, tr = run(0)  # 0 -> follow log_step (=2)
+    for step0, (me, mg) in enumerate(zip(every, gated)):
+        step = step0 + 1
+        assert set(me) == set(mg)
+        np.testing.assert_allclose(mg["total_loss"], me["total_loss"],
+                                   rtol=1e-5)
+        for k in ("Liver/Dice", "Tumor/Dice"):
+            if step == 1 or step % 2 == 0:  # on-cadence: real values
+                np.testing.assert_allclose(mg[k], me[k], rtol=1e-5)
+            else:  # off-cadence: structural zeros
+                assert mg[k] == 0.0
+    assert any(m["Liver/Dice"] != 0.0 for m in every)
