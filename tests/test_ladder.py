@@ -92,11 +92,14 @@ def test_context_adds_over_spatial(ladder):
 
 def test_bf16_moments_quality_parity(ladder):
     """The bf16-Adam-moments perf lever (+2.7 slices/s on the headline bench)
-    is admissible as a default only if it costs no quality: the unet_bf16m
-    rung (same config as unet, moments stored bfloat16) must land within 3
-    Dice points of the f32 run on the hard benchmark."""
+    is admissible as a default only if it costs no quality.  Round-5
+    three-seed replication (experiments.md round-5 table) measured per-seed
+    Dice deltas of -0.029/+0.009/+0.023 (mean +0.001, seed sigma ~0.027 on
+    the 4-case benchmark), so the single-seed ledger gate sits at 0.06 ~ 2
+    sigma: wide enough not to flap on a re-roll, tight enough to catch a
+    real moment-precision regression (which would dwarf seed noise)."""
     bf16m, un = _need(ladder, "unet_bf16m", "unet")
-    assert _dice(bf16m) >= _dice(un) - 0.03
+    assert _dice(bf16m) >= _dice(un) - 0.06
 
 
 def test_iin_patch_rung_recorded(ladder):
