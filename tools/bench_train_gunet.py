@@ -33,6 +33,52 @@ from boxsegliver_tpu.utils.compile_cache import ensure_compile_cache
 ensure_compile_cache()
 
 
+def gunet_dataset_root(size: int) -> Path:
+    """Synthetic guided-liver dataset for the flagship config (created on
+    first use; shared with tools/profile_step.py --config gunet)."""
+    from boxsegliver_tpu.data import synthetic
+
+    ds_root = Path(f"/tmp/boxseg_benchg_ds_{size}")
+    if not (ds_root / "meta.json").exists():
+        synthetic.make_synthetic_dataset(ds_root, n_cases=4,
+                                         shape=(24, size, size),
+                                         k_split=4, with_features=True)
+    return ds_root
+
+
+def gunet_args(size: int, batch: int, lane_pack: str = "auto",
+               moment_dtype: str = "float32",
+               model_dir: str = "/tmp/boxseg_benchg_model"):
+    """The run_scripts/template/002_gnet_sp.sh train flag surface (the
+    flagship GUNet ctx+sp config) as parsed product args."""
+    from boxsegliver_tpu.cli.main import get_args
+
+    args = get_args([
+        "liver", "--mode", "train", "--tag", "benchg",
+        "--model", "GUNet", "--classes", "Liver", "Tumor",
+        "--im_height", str(size), "--im_width", str(size),
+        "--im_channel", "3", "--random_flip", "3",
+        "--normalizer", "instance_norm",
+        "--use_context", "--context_list", "hist", "200", "--hist_noise",
+        "--use_spatial", "--spatial_random", "1.0",
+        "--spatial_inner_random",
+        "--center_random_ratio", "0.2", "--stddev_random_ratio", "0.4",
+        "--min_std", "2", "--noise_scale", "0.05",
+        "--loss_weight_type", "numerical",
+        "--loss_numeric_w", "0.2", "0.4", "4.4",
+        "--batch_size", str(batch),
+        "--weight_decay_rate", "0.000001",
+        "--learning_rate", "0.001",
+        "--num_of_total_steps", "1000000",
+        "--test_fold", "0", "--k_folds", "4",
+        "--model_dir", model_dir, "--host_workers", "1",
+        "--log_step", "1000000", "--lane_pack", lane_pack,
+        "--opt_moment_dtype", moment_dtype,
+    ])
+    args.num_replicas = 1
+    return args
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lane_pack", choices=["auto", "on", "off"],
@@ -49,41 +95,13 @@ def main():
 
     import jax
 
-    from boxsegliver_tpu.cli.main import build_trainer, get_args
-    from boxsegliver_tpu.data import synthetic
+    from boxsegliver_tpu.cli.main import build_trainer
     from boxsegliver_tpu.data.pipeline import TrainDataset
     from boxsegliver_tpu.data.sampler import TrainSampler
 
-    ds_root = Path(f"/tmp/boxseg_benchg_ds_{opts.size}")
-    if not (ds_root / "meta.json").exists():
-        synthetic.make_synthetic_dataset(ds_root, n_cases=4,
-                                         shape=(24, opts.size, opts.size),
-                                         k_split=4, with_features=True)
-
-    # the run_scripts/template/002_gnet_sp.sh train flag surface
-    args = get_args([
-        "liver", "--mode", "train", "--tag", "benchg",
-        "--model", "GUNet", "--classes", "Liver", "Tumor",
-        "--im_height", str(opts.size), "--im_width", str(opts.size),
-        "--im_channel", "3", "--random_flip", "3",
-        "--normalizer", "instance_norm",
-        "--use_context", "--context_list", "hist", "200", "--hist_noise",
-        "--use_spatial", "--spatial_random", "1.0",
-        "--spatial_inner_random",
-        "--center_random_ratio", "0.2", "--stddev_random_ratio", "0.4",
-        "--min_std", "2", "--noise_scale", "0.05",
-        "--loss_weight_type", "numerical",
-        "--loss_numeric_w", "0.2", "0.4", "4.4",
-        "--batch_size", str(opts.batch),
-        "--weight_decay_rate", "0.000001",
-        "--learning_rate", "0.001",
-        "--num_of_total_steps", "1000000",
-        "--test_fold", "0", "--k_folds", "4",
-        "--model_dir", "/tmp/boxseg_benchg_model", "--host_workers", "1",
-        "--log_step", "1000000", "--lane_pack", opts.lane_pack,
-        "--opt_moment_dtype", opts.moment_dtype,
-    ])
-    args.num_replicas = 1
+    ds_root = gunet_dataset_root(opts.size)
+    args = gunet_args(opts.size, opts.batch, opts.lane_pack,
+                      opts.moment_dtype)
 
     trainer = build_trainer(args, ds_root, fuse_preprocess=True)
     sampler = TrainSampler(ds_root, args, mode="train", seed=1)

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--outdir", default="/tmp/boxseg_profile")
     ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--config", choices=["unet", "gunet"], default="unet",
+                    help="unet = the headline bench workload; gunet = the "
+                         "flagship ctx+sp config (tools/bench_train_gunet "
+                         "arg surface, guided pipeline, no device cache)")
     opts = ap.parse_args()
 
     import jax
@@ -44,6 +48,18 @@ def main():
     from boxsegliver_tpu.data.pipeline import TrainDataset
     from boxsegliver_tpu.data.sampler import TrainSampler
     from boxsegliver_tpu.parallel import make_mesh
+
+    if opts.config == "gunet":
+        from tools.bench_train_gunet import gunet_args, gunet_dataset_root
+        ds_root = gunet_dataset_root(256)
+        args = gunet_args(256, opts.batch_size,
+                          model_dir="/tmp/boxseg_profileg_model")
+        trainer = build_trainer(args, ds_root, fuse_preprocess=True)
+        sampler = TrainSampler(ds_root, args, mode="train", seed=1)
+        dataset = TrainDataset(sampler, args, seed=args.seed, raw=True,
+                               workers=1, prefetch=4)
+        _profile(opts, args, trainer, dataset)
+        return
 
     ds_root = Path("/tmp/boxseg_bench_ds")
     if not (ds_root / "meta.json").exists():
@@ -66,6 +82,12 @@ def main():
                            zbase=cache.zbase)
     dataset = TrainDataset(sampler, args, seed=args.seed, raw=True,
                            workers=1, prefetch=4)
+    _profile(opts, args, trainer, dataset)
+
+
+def _profile(opts, args, trainer, dataset):
+    import jax
+
     it = iter(dataset)
 
     batch0 = next(it)
