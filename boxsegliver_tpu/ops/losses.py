@@ -87,9 +87,10 @@ def weighted_sparse_softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarr
     """
     kwargs.pop("tag", None)
     num_classes = logits.shape[-1]
-    if (w_type.lower() in ("none", "numerical")
-            and os.environ.get("BOXSEG_LOSS_IMPL") == "chan"):
-        # A/B arm (round 5): channel-UNROLLED weighted SCE.  The one_hot
+    impl = os.environ.get("BOXSEG_LOSS_IMPL", "chan")
+    if w_type.lower() in ("none", "numerical") and impl == "chan":
+        # DEFAULT lowering (round 5; A/B: 382.8 vs 380.5 slices/s on the
+        # headline bench): channel-UNROLLED weighted SCE.  The one_hot
         # formulation materializes several f32 [bs,...,C] tensors whose
         # C(=3)-minor T(8,128) layout fills 3/128 lanes (r4 profile: the
         # select_reduce/broadcast loss fusions ran at 124-132 GB/s); the
@@ -100,6 +101,8 @@ def weighted_sparse_softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarr
         #   w  = numeric_w[label]
         # with logsumexp/selection built from per-class [bs,...] slices, so
         # autodiff emits per-class full-lane backward ops too.
+        # BOXSEG_LOSS_IMPL=onehot restores the reference-shaped lowering
+        # (value/grad-equivalence pinned by tests/test_losses.py).
         chans = [logits[..., c].astype(jnp.float32)
                  for c in range(num_classes)]
         m = chans[0]
