@@ -15,6 +15,7 @@ Reports per-case Dice + interaction counts and the dataset means.
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 
 import numpy as np
@@ -62,13 +63,19 @@ def build_refiner(args, model, state):
     host-built from the first positive click)."""
     if getattr(args, "device_refine", "on") != "on":
         return None
+    mesh = None
+    if getattr(args, "num_replicas", 0) and args.num_replicas > 1:
+        # multi-chip refinement: shard the slice-batch axis over a data mesh
+        # (the reference's interactive eval is single-GPU, entry/main_eval.py)
+        from boxsegliver_tpu.parallel import make_mesh
+        mesh = make_mesh(args.num_replicas)
     if args.dim == 2:
         from boxsegliver_tpu.interactive.device_refine import DeviceRefiner2D
         return DeviceRefiner2D(
             model, state, dice_thresh=args.dice_thresh,
             max_iters=args.max_iters, stddev=args.guide_stddev,
             guide_kind=args.guide_kind,
-            guide_channel=int(args.guide_channel))
+            guide_channel=int(args.guide_channel), mesh=mesh)
     if args.dim == 3 and not getattr(args, "use_cascade", False):
         from boxsegliver_tpu.interactive.device_refine import DeviceRefiner3D
         return DeviceRefiner3D(
@@ -123,6 +130,7 @@ def main(argv=None):
 
     all_results = []
     for meta in eval_metas:
+        t_case = time.perf_counter()
         pid = int(meta["PID"])
         vol = np.load(Path(dataset_dir) / f"volume-{pid}" / "volume.npy")
         lab = np.load(Path(dataset_dir) / f"volume-{pid}" / "segmentation.npy")
@@ -166,8 +174,9 @@ def main(argv=None):
                     cascade_binary=bool(getattr(args, "cascade_binary", False)),
                     guide_channel=int(getattr(args, "guide_channel", 1)),
                     valid_shape=vol.shape)
-        logger.info("case %s: Dice=%.3f clicks=%.1f", pid, res["Dice"],
-                    res["clicks"])
+        res["sec_per_case"] = time.perf_counter() - t_case
+        logger.info("case %s: Dice=%.3f clicks=%.1f (%.2f s)", pid,
+                    res["Dice"], res["clicks"], res["sec_per_case"])
         all_results.append(res)
 
     means = {k: float(np.mean([r[k] for r in all_results]))

@@ -529,7 +529,7 @@ def evaluate(args, dataset_dir, logger, do_eval=True):
             tumor_id = (fg.index("Tumor") + 1 if "Tumor" in fg else len(fg))
             predict_g = GuidedSweepPredictor(
                 trainer.model, trainer.state, args,
-                num_classes=len(fg) + 1, tumor_id=tumor_id)
+                num_classes=len(fg) + 1, tumor_id=tumor_id, mesh=eval_mesh)
         else:
             predict_g = trainer.predict
         results = evaluator.run_g(predict_g, eval_metas,

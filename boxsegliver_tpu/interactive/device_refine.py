@@ -40,7 +40,8 @@ class DeviceRefiner2D:
 
     def __init__(self, model, state, *, dice_thresh: float = 0.85,
                  max_iters: int = 10, stddev: float = 5.0,
-                 guide_kind: str = "gaussian", guide_channel: int = 2):
+                 guide_kind: str = "gaussian", guide_channel: int = 2,
+                 mesh=None):
         if guide_kind not in ("gaussian", "euclidean", "geodesic"):
             raise ValueError(f"unknown guide kind {guide_kind!r}")
         self.model = model
@@ -49,9 +50,19 @@ class DeviceRefiner2D:
         self.stddev = float(stddev)
         self.guide_kind = guide_kind
         self.guide_channel = int(guide_channel)
+        # Optional multi-chip refinement: all lesion slices of a case refine
+        # simultaneously (the batch axis is SLICES), so a data mesh shards
+        # that axis — every click round runs batch-parallel across chips,
+        # params replicated.  The slice buckets (_S_BUCKETS, min 8) are
+        # powers of two, so they divide any power-of-two mesh.
+        self.mesh = mesh
         variables = {"params": state.params}
         if getattr(state, "batch_stats", None):
             variables["batch_stats"] = state.batch_stats
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
         self._variables = variables
         # per-instance cache (NOT @lru_cache on the method, which keys on
         # self at class scope and would pin params + compiled executables
@@ -192,13 +203,22 @@ class DeviceRefiner2D:
         lab = lab[lesion]
         s, h, w = lab.shape
         sb = next((b for b in _S_BUCKETS if s <= b), s)
+        if self.mesh is not None and sb % self.mesh.size:
+            sb += self.mesh.size - sb % self.mesh.size  # beyond-bucket cases
         if sb > s:
             images = np.concatenate(
                 [images, np.zeros((sb - s,) + images.shape[1:], np.float32)])
             lab = np.concatenate([lab, np.zeros((sb - s, h, w), bool)])
         fn = self._compiled(sb, h, w, images.shape[-1])
-        dice, clicks = fn(self._variables, jax.device_put(images),
-                          jax.device_put(lab))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(self.mesh, P("data"))
+            dice, clicks = fn(self._variables,
+                              jax.device_put(images, shard),
+                              jax.device_put(lab, shard))
+        else:
+            dice, clicks = fn(self._variables, jax.device_put(images),
+                              jax.device_put(lab))
         dice = np.asarray(dice)[:s]
         clicks = np.asarray(clicks)[:s]
         return {"Dice": float(dice.mean()), "clicks": float(clicks.mean()),

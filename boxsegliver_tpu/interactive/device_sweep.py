@@ -51,11 +51,20 @@ class GuidedSweepPredictor:
     Callable on a plain feature dict (host fallback path), like
     DeviceSlicePredictor."""
 
-    def __init__(self, model, state, args, num_classes: int, tumor_id: int):
+    def __init__(self, model, state, args, num_classes: int, tumor_id: int,
+                 mesh=None):
         import jax
 
         self.args = args
         self.model = model
+        # Optional multi-chip spatial partitioning: the sweep is a sequential
+        # scan (slice n's guide depends on slice n-1's prediction) so there is
+        # no batch axis to shard — instead the per-step TTA forward is
+        # sharded over the image HEIGHT axis (XLA SPMD partitions the convs
+        # with halo exchanges over the mesh axis).  The mirror-TTA batch (4)
+        # is smaller than typical meshes, so the spatial axis is the one that
+        # scales.  mesh=None (default) = single-device, the reference's mode.
+        self.mesh = mesh
         self.pshape = (int(args.im_height), int(args.im_width))
         self.min_std = float(getattr(args, "min_std", 2.0))
         self.eval_discount = float(getattr(args, "eval_discount", 0.85))
@@ -142,6 +151,8 @@ class GuidedSweepPredictor:
         thresh = 0.15 + GUIDE_BG
         sentinel = ph * pw
 
+        mesh = self.mesh
+
         def forward_tta(variables, images, guide, ctx):
             """images [ph, pw, c]; guide [ph, pw] -> merged probs."""
             n = len(flips)
@@ -156,6 +167,14 @@ class GuidedSweepPredictor:
             feats = {"images": jnp.stack(ims), "sp_guide": jnp.stack(gds)}
             if with_ctx:
                 feats["context"] = jnp.tile(ctx[None], (n, 1))
+            if mesh is not None:
+                # partition the TTA forward over the height axis (halo
+                # exchanges ride the mesh's ICI; batch/width replicated)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                row = NamedSharding(mesh, P(None, "data", None, None))
+                feats = {k: (jax.lax.with_sharding_constraint(v, row)
+                             if v.ndim == 4 else v)
+                         for k, v in feats.items()}
             logits = model.apply(variables, feats, train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             acc = jnp.zeros((ph, pw, nc), jnp.float32)

@@ -307,3 +307,22 @@ def test_cli_refiner_routing():
                          state) is None
     assert build_refiner(args(dim=3, device_refine="off"), None,
                          state) is None
+
+
+def test_refine_case_mesh_matches_single_device(fitted):
+    """Round-5 mesh mode: the slice-batch axis sharded over an 8-device data
+    mesh (interactive/device_refine.py mesh=...) must reproduce the
+    single-device trajectory exactly — params replicated, each click round
+    batch-parallel (SURVEY §2.8 sharded-eval promise, round-4 verdict #7)."""
+    from boxsegliver_tpu.parallel import make_mesh
+
+    model, state, ims, labs = fitted
+    kw = dict(dice_thresh=0.85, max_iters=5, stddev=5.0,
+              guide_kind="gaussian", guide_channel=2)
+    single = DeviceRefiner2D(model, state, **kw).refine_case(ims, labs)
+    mesh = make_mesh(8)
+    refiner = DeviceRefiner2D(model, state, mesh=mesh, **kw)
+    sharded = refiner.refine_case(ims, labs)
+    assert sharded["slices"] == single["slices"]
+    np.testing.assert_allclose(sharded["clicks"], single["clicks"], atol=1e-6)
+    np.testing.assert_allclose(sharded["Dice"], single["Dice"], atol=1e-5)

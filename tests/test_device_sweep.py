@@ -209,3 +209,28 @@ def test_overflow_falls_back(ds, tmp_path, fitted):
     else:
         # the fitted net produced <=1 object everywhere; cap not exercised
         assert n_max <= 1
+
+
+def test_sweep_case_mesh_matches_single_device(ds, tmp_path, fitted):
+    """Round-5 mesh mode: the sweep is sequential over slices, so its TTA
+    forward partitions over the image HEIGHT axis under a mesh
+    (interactive/device_sweep.py mesh=...; halo-exchanged convs).  Must
+    reproduce the single-device merged volume (round-4 verdict #7)."""
+    from boxsegliver_tpu.parallel import make_mesh
+
+    args = _args(tmp_path / "mm", eval_mirror=True)
+    ev = EvaluateVolume(args, ds, ["Liver", "Tumor"])
+    metas = load_meta(ds)
+    prior = json.loads((ds / "prior.json").read_text())
+    model, state = fitted
+    case = parse_case_eval(metas[0], ds, im_channel=3, parse_label=True,
+                           norm=ev.norm, whole_frame=ev.nf)
+    single = GuidedSweepPredictor(model, state, args, num_classes=3,
+                                  tumor_id=2)
+    sharded = GuidedSweepPredictor(model, state, args, num_classes=3,
+                                   tumor_id=2, mesh=make_mesh(8))
+    pv1, n1 = single.sweep_case(case, prior.get(str(case.pid), {}))
+    pv8, n8 = sharded.sweep_case(case, prior.get(str(case.pid), {}))
+    assert pv1 is not None and pv8 is not None
+    assert n1 == n8
+    np.testing.assert_allclose(pv8, pv1, atol=2e-5)
