@@ -91,6 +91,9 @@ def main():
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
                     default="float32")
+    ap.add_argument("--cache", choices=["on", "off"], default="on",
+                    help="HBM volume cache (the product --device_cache "
+                         "path); off = the round-4 host-fed measurement")
     opts = ap.parse_args()
 
     import jax
@@ -103,8 +106,31 @@ def main():
     args = gunet_args(opts.size, opts.batch, opts.lane_pack,
                       opts.moment_dtype)
 
-    trainer = build_trainer(args, ds_root, fuse_preprocess=True)
-    sampler = TrainSampler(ds_root, args, mode="train", seed=1)
+    cache = None
+    if opts.cache == "on":
+        # HBM volume cache, exactly like the UNet headline bench / the CLI's
+        # --device_cache: the round-5 GUNet profile showed the flagship was
+        # HOST-INPUT-bound (85.5 ms device self time vs 240 ms wall at bs 32)
+        # — volumes cached on device turn the host batch into tiny indices +
+        # guide moments, and the fused preprocess gathers/renders on device.
+        from boxsegliver_tpu.data.device_cache import DeviceVolumeCache
+        from boxsegliver_tpu.data.kfold import (LITS_SEED,
+                                                read_or_create_k_folds,
+                                                train_test_split)
+        from boxsegliver_tpu.data.meta import load_meta
+        from boxsegliver_tpu.parallel import make_mesh
+        metas = load_meta(ds_root)
+        folds = read_or_create_k_folds(ds_root / "k_folds.txt",
+                                       [m["PID"] for m in metas],
+                                       k_split=args.k_folds, seed=LITS_SEED)
+        train_pids, _ = train_test_split(folds, args.test_fold)
+        cache = DeviceVolumeCache(ds_root, [int(p) for p in train_pids],
+                                  mesh=make_mesh(1),
+                                  budget_gb=args.device_cache_gb)
+
+    trainer = build_trainer(args, ds_root, fuse_preprocess=True, cache=cache)
+    sampler = TrainSampler(ds_root, args, mode="train", seed=1,
+                           zbase=cache.zbase if cache else None)
     dataset = TrainDataset(sampler, args, seed=args.seed, raw=True,
                            workers=1, prefetch=4)
     it = iter(dataset)
@@ -149,6 +175,7 @@ def main():
         "lane_pack": opts.lane_pack,
         "moment_dtype": opts.moment_dtype,
         "batch": opts.batch,
+        "cache": opts.cache,
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
     }))

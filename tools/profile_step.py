@@ -54,8 +54,18 @@ def main():
         ds_root = gunet_dataset_root(256)
         args = gunet_args(256, opts.batch_size,
                           model_dir="/tmp/boxseg_profileg_model")
-        trainer = build_trainer(args, ds_root, fuse_preprocess=True)
-        sampler = TrainSampler(ds_root, args, mode="train", seed=1)
+        metas = load_meta(ds_root)
+        folds = read_or_create_k_folds(ds_root / "k_folds.txt",
+                                       [m["PID"] for m in metas],
+                                       k_split=args.k_folds, seed=LITS_SEED)
+        train_pids, _ = train_test_split(folds, args.test_fold)
+        cache = DeviceVolumeCache(ds_root, [int(p) for p in train_pids],
+                                  mesh=make_mesh(1),
+                                  budget_gb=args.device_cache_gb)
+        trainer = build_trainer(args, ds_root, fuse_preprocess=True,
+                                cache=cache)
+        sampler = TrainSampler(ds_root, args, mode="train", seed=1,
+                               zbase=cache.zbase)
         dataset = TrainDataset(sampler, args, seed=args.seed, raw=True,
                                workers=1, prefetch=4)
         _profile(opts, args, trainer, dataset)
