@@ -39,13 +39,19 @@ def build_parser():
                        choices=["gaussian", "euclidean", "geodesic"])
     group.add_argument("--tta", action="store_true",
                        help="8-way mirror TTA in the 3D loop")
-    group.add_argument("--device_refine", choices=["on", "off"], default="on",
+    group.add_argument("--device_refine", choices=["on", "off", "auto"],
+                       default="auto",
                        help="run the whole click loop on device as ONE "
                             "dispatch per case (interactive/device_refine.py: "
                             "2D = all lesion slices batched, 3D = whole "
                             "volume); off = reference-shaped per-click host "
-                            "loop. The 3D cascade channel falls back to "
-                            "the host loop automatically")
+                            "loop; auto (default) = on except the 2D loop at "
+                            ">128^2, where the vmapped in-graph click "
+                            "placement measured SLOWER than the host loop "
+                            "(round-5 refine_bench: 17.8 vs 6.7 s/case at "
+                            "256^2; 0.13-0.26 vs 2.5-6 at 128^2). The 3D "
+                            "cascade channel falls back to the host loop "
+                            "automatically")
     group.add_argument("--task", type=str, default="synthetic",
                        help="dataset pairing (as in cli.main); 'synthetic' "
                             "auto-generates, anything else resolves "
@@ -61,8 +67,12 @@ def build_refiner(args, model, state):
     in-graph; geodesic via ops/geodesic.py).  3D: gaussian loop on device;
     the cascade variant keeps the host loop (its GT-oracle channel is
     host-built from the first positive click)."""
-    if getattr(args, "device_refine", "on") != "on":
+    mode = getattr(args, "device_refine", "auto")
+    if mode == "off":
         return None
+    if mode == "auto" and args.dim == 2 \
+            and int(args.im_height) * int(args.im_width) > 128 * 128:
+        return None  # measured crossover: host loop wins at 2D >128^2
     mesh = None
     if getattr(args, "num_replicas", 0) and args.num_replicas > 1:
         # multi-chip refinement: shard the slice-batch axis over a data mesh
