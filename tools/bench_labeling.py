@@ -107,6 +107,44 @@ def main():
     timeit("unetinter_forward",
            lambda v, f: model.apply(v, f, train=False), variables, feats)
 
+    # guide render (max over T=10 click slots: the [sb,T,hw,hw] broadcast)
+    pts = jnp.zeros((sb, 10, 2), jnp.int32)
+    msk = jnp.ones((sb, 10), bool)
+    iy = jnp.arange(hw, dtype=jnp.float32)[:, None]
+    ix = jnp.arange(hw, dtype=jnp.float32)[None, :]
+
+    def render(p, m):
+        py = p[..., 0].astype(jnp.float32)[:, :, None, None]
+        px = p[..., 1].astype(jnp.float32)[:, :, None, None]
+        d2 = (iy[None, None] - py) ** 2 + (ix[None, None] - px) ** 2
+        return jnp.where(m[:, :, None, None],
+                         jnp.exp(-d2 / 50.0), 0.0).max(axis=1)
+    timeit("guide_render_T10", render, pts, msk)
+
+    # the full device refine loop, 1 and 5 click rounds (per-round cost =
+    # the difference / 4); random weights click forever, so rounds = t_max
+    from boxsegliver_tpu.interactive.device_refine import DeviceRefiner2D
+    from boxsegliver_tpu.train.trainer import TrainState
+    from flax.core import FrozenDict
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=(), lr_scale=jnp.ones((), jnp.float32))
+    imgs = np.random.RandomState(1).rand(sb, hw, hw, 3).astype(np.float32)
+    labs = np.asarray(_blobby(sb, hw, seed=2)).astype(np.int32)
+    for t_max in (1, 5):
+        ref = DeviceRefiner2D(model, state, dice_thresh=0.99,
+                              max_iters=t_max, stddev=5.0, guide_channel=2)
+        ref.refine_case(imgs, labs)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(max(1, opts.iters // 2)):
+            out = ref.refine_case(imgs, labs)
+        ms = (time.perf_counter() - t0) / max(1, opts.iters // 2) * 1e3
+        print(json.dumps({"metric": "labeling_bench",
+                          "op": f"refine_case_tmax{t_max}",
+                          "sb": sb, "hw": hw, "ms": round(ms, 2)}),
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
