@@ -10,11 +10,18 @@ from __future__ import annotations
 
 import os
 
-DEFAULT_CACHE_DIR = "/tmp/jax_cache_tpu"
+# Round-5: moved OFF /tmp — the environment recycles /tmp between driver
+# sessions, and losing the cache costs ~20 min per fused-GUNet recompile
+# over the tunnel.  .scratch/ is gitignored (same home as the ladder data).
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch", "jax_cache_tpu")
 
 
 def ensure_compile_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
     """Idempotent env defaults; explicit user env vars always win."""
+    os.makedirs(os.environ.get("JAX_COMPILATION_CACHE_DIR", cache_dir),
+                exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
