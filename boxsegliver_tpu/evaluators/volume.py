@@ -208,6 +208,24 @@ class EvaluateVolume(EvaluateBase):
     # save
     # ------------------------------------------------------------------
 
+    def full_class_map(self, case: EvalCase, pred: np.ndarray) -> np.ndarray:
+        """Class-map volume at the ORIGINAL case shape: resize the [cz, ph,
+        pw] prediction back to the crop, postprocess, sum the class masks
+        (the reference's saved encoding: liver=1, tumor voxels=2 — reference
+        maybe_save_case, evaluator_liver.py:1004-1016), un-crop pad."""
+        z1, z2, y1, y2, x1, x2 = case.crop
+        d, h, w = case.oshape
+        if pred.ndim == 4:  # probability volume — collapse to the class map
+            pred = np.argmax(pred, axis=-1).astype(np.uint8)
+        pred = self._resize_pred_to_crop(pred, (y2 - y1, x2 - x1))
+        vols = self.postprocess(pred)
+        arr = np.zeros(pred.shape, np.uint8)
+        for cls in self.classes:
+            if cls in vols:
+                arr += vols[cls].astype(np.uint8)
+        return np.pad(arr, ((z1, d - z2), (y1, h - y2), (x1, w - x2)),
+                      mode="constant")
+
     def save_case(self, case: EvalCase, volume: np.ndarray, save_path,
                   dtype: str = "pred"):
         """Un-crop pad to original shape → NIfTI (pred) or npz (prob)
@@ -218,15 +236,7 @@ class EvaluateVolume(EvaluateBase):
         d, h, w = case.oshape
         pad = ((z1, d - z2), (y1, h - y2), (x1, w - x2))
         if dtype == "pred":
-            pred = self._resize_pred_to_crop(volume, (y2 - y1, x2 - x1))
-            vols = self.postprocess(pred)
-            # reference saves the summed class map: liver=1, tumor voxels=2
-            # (maybe_save_case, evaluator_liver.py:1004-1016)
-            arr = np.zeros(pred.shape, np.uint8)
-            for cls in self.classes:
-                if cls in vols:
-                    arr += vols[cls].astype(np.uint8)
-            arr = np.pad(arr, pad, mode="constant")
+            arr = self.full_class_map(case, volume)
             out = save_path / f"predict-{case.pid}.nii.gz"
             nii_kits.write_nii(arr, out, zooms=case.spacing)
         else:
@@ -264,42 +274,54 @@ class EvaluateVolume(EvaluateBase):
         n = 0
         skip = getattr(args, "eval_skip_num", 0)
         limit = getattr(args, "eval_num", -1)
+        for meta in list(case_metas)[skip:]:
+            if 0 < limit <= n:
+                break
+            t0 = time.time()
+            case, probs3d = self.predict_case_g(
+                predict_fn, meta, prior.get(str(int(meta["PID"])), {}),
+                parse_label=do_eval)
+            n += 1
+            self._finish_case(case, probs3d, accumulator, save, save_path,
+                              do_eval, n, t0)
+        return self._finish_run(accumulator, n)
+
+    def predict_case_g(self, predict_fn: Callable, meta: Dict,
+                       prior_case: Dict, parse_label: bool = True):
+        """One case of the run_g protocol: parse → (device | host) double
+        guide-propagation sweep → merged probability volume.
+
+        Factored out of run_g so interactive clients (cli/annotate.py) can
+        drive live guided predictions from user-drawn priors.  Returns
+        ``(case, probs3d)`` with probs3d of shape [cz, ph, pw, nc].
+        """
+        args = self.args
         tumor_id = (self.classes.index("Tumor") + 1 if "Tumor" in self.classes
                     else len(self.classes))
+        case = parse_case_eval(meta, self.dataset_dir,
+                               im_channel=args.im_channel,
+                               parse_label=parse_label, norm=self.norm,
+                               whole_frame=self.nf)
+        context = None
+        if self.context_list is not None:
+            context = load_eval_context(self.dataset_dir, case.pid,
+                                        self.context_list, args.hist_scale)
         # device-resident double sweep (interactive/device_sweep.py): both
         # propagation sweeps in one dispatch; None => host loop (off, guide
         # dumping, or a per-case static-cap overflow)
         sweep_dev = getattr(predict_fn, "sweep_case", None)
         if getattr(args, "save_sp_guide", False):
             sweep_dev = None
-        for meta in list(case_metas)[skip:]:
-            if 0 < limit <= n:
-                break
-            t0 = time.time()
-            case = parse_case_eval(meta, self.dataset_dir,
-                                   im_channel=args.im_channel,
-                                   parse_label=do_eval, norm=self.norm,
-                                   whole_frame=self.nf)
-            context = None
-            if self.context_list is not None:
-                context = load_eval_context(self.dataset_dir, case.pid,
-                                            self.context_list, args.hist_scale)
-            probs3d = None
-            if sweep_dev is not None:
-                probs3d, n_objs = sweep_dev(case,
-                                            prior.get(str(case.pid), {}),
-                                            context)
-                if probs3d is None:
-                    logger.info("  case %s: %d objects overflow the device "
-                                "sweep caps; host loop", case.pid, n_objs)
+        probs3d = None
+        if sweep_dev is not None:
+            probs3d, n_objs = sweep_dev(case, prior_case, context)
             if probs3d is None:
-                probs3d = self._sweep_case_host(
-                    predict_fn, case, prior.get(str(case.pid), {}), context,
-                    tumor_id)
-            n += 1
-            self._finish_case(case, probs3d, accumulator, save, save_path,
-                              do_eval, n, t0)
-        return self._finish_run(accumulator, n)
+                logger.info("  case %s: %d objects overflow the device "
+                            "sweep caps; host loop", case.pid, n_objs)
+        if probs3d is None:
+            probs3d = self._sweep_case_host(predict_fn, case, prior_case,
+                                            context, tumor_id)
+        return case, probs3d
 
     def _sweep_case_host(self, predict_fn: Callable, case,
                          prior_case: Dict, context, tumor_id: int

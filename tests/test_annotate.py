@@ -1,0 +1,159 @@
+"""Browser annotation app (cli/annotate.py): HTTP surface, interaction
+persistence in the run_g prior schema, and live model-in-the-loop predict.
+
+Covers the reference's Qt annotation/model-viewer towers (reference
+interaction/nf_fw.py + nf_view.py save_interaction, model_viewer_nf/main.py)
+as re-designed: a headless HTTP app over the device-resident guided sweep."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from boxsegliver_tpu.cli.annotate import (ELLIPSE_TO_STD, AnnotateApp,
+                                          make_server)
+from boxsegliver_tpu.data.meta import load_meta
+from boxsegliver_tpu.data.synthetic import make_synthetic_dataset
+
+from test_device_sweep import _args, _gunet  # tiny fitted spatial GUNet
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("annotate") / "ds"
+    make_synthetic_dataset(root, n_cases=2, shape=(11, 96, 96), k_split=2,
+                           seed=11)
+    return root
+
+
+@pytest.fixture()
+def served(ds, tmp_path):
+    app = AnnotateApp(ds, interactions_file=tmp_path / "inter.json",
+                      model_argv=["liver"])  # marks has_model; predictor is
+    # injected per-test, so the CLI trainer composition is never built here
+    server = make_server(app, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    yield app, f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _post(url, obj):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def test_state_and_slices(served, ds):
+    app, base = served
+    state = _get(base + "/api/state")
+    metas = load_meta(ds)
+    assert [c["pid"] for c in state["cases"]] == \
+        sorted(int(m["PID"]) for m in metas)
+    assert state["has_model"] and not state["has_pred"]
+    pid = state["cases"][0]["pid"]
+    d, h, w = state["cases"][0]["size"]
+    for axis, n in (("z", d), ("y", h), ("x", w)):
+        s = _get(f"{base}/api/slice?pid={pid}&axis={axis}&i={n // 2}")
+        assert s["n"] == n and s["img"].startswith("data:image/png")
+        assert "gt" in s  # synthetic dataset ships segmentations
+    # the HTML app itself is served at /
+    with urllib.request.urlopen(base + "/", timeout=30) as r:
+        assert b"boxsegliver annotate" in r.read()
+    # unknown case -> 404
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(base + "/api/slice?pid=999&axis=z&i=0")
+    assert err.value.code == 404
+
+
+def test_interaction_roundtrip_prior_schema(served):
+    app, base = served
+    pid = _get(base + "/api/state")["cases"][0]["pid"]
+    # ellipse half-axes convert with the reference 0.37065 factor
+    # (nf_view.py:225-231)
+    r = _post(base + "/api/interaction",
+              {"pid": pid, "sid": 5, "center": [40.0, 50.0],
+               "radius": [8.0, 6.0], "z": [4, 7]})
+    assert r["added"]["stddev"] == [round(8.0 * ELLIPSE_TO_STD, 3),
+                                    round(6.0 * ELLIPSE_TO_STD, 3)]
+    _post(base + "/api/interaction",
+          {"pid": pid, "sid": 5, "center": [20.0, 20.0], "radius": [4, 4]})
+    state = _get(base + "/api/state")
+    assert state["cases"][0]["guides"] == 2
+    # default z-span is [sid, sid+1] (reference liver_view.py:225)
+    assert state["interactions"][str(pid)]["5"][1]["z"] == [5, 6]
+    # undo pops the LAST interaction on the slice (nf_fw.py key 'u')
+    assert _post(base + "/api/interaction/pop",
+                 {"pid": pid, "sid": 5})["popped"]
+    assert _get(base + "/api/state")["cases"][0]["guides"] == 1
+    # save writes the prior.json schema run_g consumes (--real_sp)
+    path = _post(base + "/api/save", {})["path"]
+    saved = json.loads(open(path).read())
+    assert set(saved) == {str(pid)}
+    obj = saved[str(pid)]["5"][0]
+    assert set(obj) == {"z", "center", "stddev"}
+    assert obj["center"] == [40.0, 50.0] and obj["z"] == [4, 7]
+    # popping to empty drops the slice and case levels on save
+    _post(base + "/api/interaction/pop", {"pid": pid, "sid": 5})
+    saved = json.loads(open(_post(base + "/api/save", {})["path"]).read())
+    assert saved == {}
+
+
+def test_live_predict_end_to_end(served, ds, tmp_path):
+    """Predict with user-drawn guides == run_g with the same prior: the app
+    drives the real guided-sweep machinery, and metrics come back."""
+    from boxsegliver_tpu.evaluators.eval_loader import parse_case_eval
+    from boxsegliver_tpu.evaluators.volume import EvaluateVolume
+    from boxsegliver_tpu.interactive.device_sweep import GuidedSweepPredictor
+
+    app, base = served
+    metas = load_meta(ds)
+    case0 = parse_case_eval(metas[0], ds, im_channel=3, parse_label=True)
+    model, state = _gunet(fit_on=case0)
+    args = _args(tmp_path / "m")
+    ev = EvaluateVolume(args, ds, ["Liver", "Tumor"])
+    predictor = GuidedSweepPredictor(model, state, args, num_classes=3,
+                                     tumor_id=2)
+    app._predictor = (ev, predictor)  # inject: the CLI composition is
+    # exercised by cli tests; here we pin the app->evaluator contract
+
+    # translate the dataset's simulated prior into app interactions, as if
+    # the user had drawn the same ellipses
+    prior = json.loads((ds / "prior.json").read_text())
+    pid = int(metas[0]["PID"])
+    for sid, objs in prior[str(pid)].items():
+        for o in objs:
+            _post(base + "/api/interaction",
+                  {"pid": pid, "sid": int(sid), "center": o["center"],
+                   "radius": [s / ELLIPSE_TO_STD for s in o["stddev"]],
+                   "z": o["z"]})
+    r = _post(base + "/api/predict", {"pid": pid})
+    assert r["guides"] == sum(len(v) for v in prior[str(pid)].values())
+    assert "Tumor/Dice" in r["metrics"]
+
+    # the live overlay is now served and matches full_class_map of a direct
+    # predict_case_g with the same prior (stddevs round-trip through 3-digit
+    # rounding, so allow tiny mismatch in voxel count)
+    s = _get(f"{base}/api/slice?pid={pid}&axis=z&i=5")
+    assert "live" in s
+    case, probs = ev.predict_case_g(predictor, metas[0],
+                                    app.interactions[str(pid)])
+    direct = ev.full_class_map(case, probs)
+    np.testing.assert_array_equal(app._live[pid], direct)
+    # metrics surface in the case table
+    st = _get(base + "/api/state")
+    c0 = next(c for c in st["cases"] if c["pid"] == pid)
+    assert c0["live"] and "Tumor/Dice" in c0["metrics"]
+
+    # drawing a new guide invalidates the stale live prediction
+    _post(base + "/api/interaction",
+          {"pid": pid, "sid": 3, "center": [30, 30], "radius": [5, 5]})
+    assert pid not in app._live
