@@ -161,7 +161,25 @@ class AnnotateApp:
             out["live"] = _png_b64(
                 self._plane(self._live[pid], ax, i, spacing,
                             order=0).astype(np.uint8))
+        if axis == "z":
+            guide = self.render_guide(pid, i, (img.shape[0], img.shape[1]))
+            if guide is not None:
+                out["guide"] = _png_b64(guide)
         return out
+
+    def render_guide(self, pid: int, sid: int, shape) -> Optional[np.ndarray]:
+        """The Gaussian spatial guide the model would see for this slice's
+        interactions (reference interaction/demo_guide_enhance.py preview;
+        same renderer as guided eval, ops/array_kits.py v2 semantics)."""
+        from boxsegliver_tpu.ops import array_kits
+
+        objs = self.interactions.get(str(pid), {}).get(str(sid), [])
+        if not objs:
+            return None
+        guide = array_kits.create_gaussian_distribution_v2(
+            shape, [o["center"] for o in objs],
+            [np.maximum(o["stddev"], 1.0) for o in objs])
+        return (np.clip(guide, 0.0, 1.0) * 255).astype(np.uint8)
 
     # -- interactions (reference *_view.py adapter surface) ------------------
 
@@ -385,14 +403,14 @@ Guides save as the run_g prior/--real_sp JSON.</div></div>
 <script>
 let ST=null, cur=null, curAxis="z", slices={}, drag=null;
 const SCALE=2;
-const LAYERCOL={gt:[50,150,255], pred:[255,80,50], cmp:[230,190,40], live:[60,220,90]};
+const LAYERCOL={gt:[50,150,255], pred:[255,80,50], cmp:[230,190,40], live:[60,220,90], guide:[240,60,240]};
 const $=id=>document.getElementById(id);
 function msg(t){ $("msg").textContent=t; }
 async function getState(){ ST=await (await fetch("/api/state")).json();
   renderCases();
   if(ST.has_model) $("predict").style.display="";
   const ls=$("layers"); ls.innerHTML="";
-  ["gt","pred","cmp","live"].forEach(k=>{
+  ["gt","pred","cmp","live","guide"].forEach(k=>{
     if(k==="pred"&&!ST.has_pred) return;
     if(k==="cmp"&&!ST.has_cmp) return;
     if(k==="live"&&!ST.has_model) return;
@@ -449,9 +467,16 @@ async function draw(){
     const mt=document.createElement("canvas"); mt.width=W; mt.height=H;
     const mc=mt.getContext("2d"); mc.drawImage(mi,0,0);
     const md=mc.getImageData(0,0,W,H).data;
+    const c=LAYERCOL[k];
+    if(k==="guide"){ // continuous Gaussian heat: intensity IS the alpha
+      for(let p=0;p<W*H;p++){
+        const a=md[4*p]/255*0.7; if(a<0.02) continue;
+        for(let q=0;q<3;q++) id.data[4*p+q]=(1-a)*id.data[4*p+q]+a*c[q];
+      }
+      continue;
+    }
     const lab=new Uint8Array(W*H);
     for(let p=0;p<W*H;p++) lab[p]=md[4*p]>0?1:0;
-    const c=LAYERCOL[k];
     for(let y=0;y<H;y++)for(let x=0;x<W;x++){
       const p=y*W+x; if(!lab[p]) continue;
       if(contour){

@@ -94,6 +94,20 @@ def test_interaction_roundtrip_prior_schema(served):
     assert _post(base + "/api/interaction/pop",
                  {"pid": pid, "sid": 5})["popped"]
     assert _get(base + "/api/state")["cases"][0]["guides"] == 1
+    # the slice payload now previews the rendered Gaussian guide (reference
+    # demo_guide_enhance.py), with the SAME renderer guided eval uses
+    s = _get(f"{base}/api/slice?pid={pid}&axis=z&i=5")
+    assert "guide" in s and s["guide"].startswith("data:image/png")
+    assert "guide" not in _get(f"{base}/api/slice?pid={pid}&axis=z&i=0")
+    from boxsegliver_tpu.ops import array_kits
+    direct = array_kits.create_gaussian_distribution_v2(
+        (s["h"], s["w"]), [o["center"] for o in
+                           app.interactions[str(pid)]["5"]],
+        [np.maximum(o["stddev"], 1.0) for o in
+         app.interactions[str(pid)]["5"]])
+    np.testing.assert_array_equal(
+        app.render_guide(pid, 5, (s["h"], s["w"])),
+        (np.clip(direct, 0, 1) * 255).astype(np.uint8))
     # save writes the prior.json schema run_g consumes (--real_sp)
     path = _post(base + "/api/save", {})["path"]
     saved = json.loads(open(path).read())
