@@ -29,8 +29,12 @@ set -u
 
 queue_init() {  # queue_init <name>
   QNAME="$1"
-  Q="/tmp/$QNAME"
+  # Default queue-log root moved off /tmp (round 5: the driver's /tmp
+  # recycler destroyed four queues' evidence mid-round); .scratch/ is
+  # repo-local + gitignored and survives the recycler.
+  Q="${BOXSEG_QDIR:-$(dirname "${BASH_SOURCE[1]}")/../.scratch/queues}/$QNAME"
   mkdir -p "$Q"
+  Q="$(cd "$Q" && pwd)"
   cd "$(dirname "${BASH_SOURCE[1]}")/.."
   echo "=== [$(date +%H:%M:%S)] queue $QNAME start (logs: $Q)"
 }
