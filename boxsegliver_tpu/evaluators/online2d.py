@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable, Dict, List, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 # surface metrics (ASSD/RMSD/MSD) need full volumes and are only produced by
@@ -50,6 +51,32 @@ class OnlineEval2D:
         self.metric_names = list(getattr(args, "metrics_eval", ["Dice"]))
         self.use_global_dice = use_global_dice
         self._key = jax.random.PRNGKey(EVAL_SEED)
+        # ALL per-batch metric math happens in ONE jitted call returning a
+        # dict of scalars.  The first implementation called the jnp metric
+        # fns eagerly on host arrays — on a tunneled TPU backend every eager
+        # op is a network round trip, and 100 batches x classes x metrics x
+        # ~8 ops made each epoch-end eval cost minutes instead of seconds.
+        self._metrics_fn = jax.jit(self._batch_metrics)
+
+    def _batch_metrics(self, probs, labels) -> Dict[str, jnp.ndarray]:
+        out: Dict[str, jnp.ndarray] = {}
+        for i, cls in enumerate(self.classes):
+            if i == 0:
+                continue
+            pred_i = (probs[..., i] > 0.5).astype(jnp.float32)
+            lab_i = (labels == i).astype(jnp.float32)
+            for met in self.metric_names:
+                fn = _METRIC_FNS.get(met.lower())
+                if fn is None:  # surface metrics need volumes, skip in 2D
+                    continue
+                out[f"{cls}/{met}"] = fn(pred_i[..., None], lab_i[..., None])
+            if self.use_global_dice:
+                t, r = pred_i != 0, lab_i != 0
+                out[f"_cm/tp/{cls}"] = jnp.sum(t & r)
+                out[f"_cm/fp/{cls}"] = jnp.sum(t & ~r)
+                out[f"_cm/tn/{cls}"] = jnp.sum(~t & ~r)
+                out[f"_cm/fn/{cls}"] = jnp.sum(~t & r)
+        return out
 
     def __call__(self, trainer) -> Dict[str, float]:
         sums: Dict[str, float] = {}
@@ -58,24 +85,21 @@ class OnlineEval2D:
         for batch in self.batches:
             features, labels = self.process_fn(batch, self._key)
             probs = trainer.predict(features)
-            probs, labels = jax.device_get((probs, labels))
+            vals = jax.device_get(self._metrics_fn(probs, labels))
             if count == 0:
-                self._image_summaries(trainer, features, labels, probs)
+                self._image_summaries(trainer, features,
+                                      np.asarray(jax.device_get(labels)),
+                                      np.asarray(jax.device_get(probs)))
             count += 1
-            for i, cls in enumerate(self.classes):
-                if i == 0:
-                    continue
-                pred_i = (probs[..., i] > 0.5).astype(np.float32)
-                lab_i = (labels == i).astype(np.float32)
-                for met in self.metric_names:
-                    fn = _METRIC_FNS.get(met.lower())
-                    if fn is None:  # surface metrics need volumes, skip in 2D
-                        continue
-                    key = f"{cls}/{met}"
-                    val = float(fn(pred_i[..., None], lab_i[..., None]))
-                    sums[key] = sums.get(key, 0.0) + val
-                if self.use_global_dice:
-                    cms[cls].add(pred_i, lab_i)
+            for key, val in vals.items():
+                if key.startswith("_cm/"):
+                    _, kind, cls = key.split("/")
+                    cm = cms[cls]
+                    setattr(cm, kind, getattr(cm, kind) + int(val))
+                    if kind == "tp":  # count each batch's pixels once
+                        cm.size += int(np.prod(np.shape(labels)))
+                else:
+                    sums[key] = sums.get(key, 0.0) + float(val)
         out = {k: v / max(count, 1) for k, v in sums.items()}
         if self.use_global_dice:
             for cls, cm in cms.items():

@@ -236,3 +236,38 @@ def test_eval_results_persisted(dataset, tmp_path):
     import json
     saved = json.loads((tmp_path / "eval_results_3d.txt").read_text())
     assert saved["Liver/Dice"] > 0.999
+
+
+def test_online_eval_jitted_batch_metrics_match_host():
+    """OnlineEval2D's single-jitted-call metric path (one device dispatch per
+    batch — the eager per-metric jnp calls cost a tunnel round trip per op on
+    TPU backends) must reproduce the host-side metric fns and ConfusionMatrix
+    counts exactly (reference evaluator_liver.py:164-332 2D branch +
+    loss_metrics.py:506-580)."""
+    import jax
+
+    from boxsegliver_tpu.evaluators.online2d import OnlineEval2D
+    from boxsegliver_tpu.ops.metrics import METRIC_FNS, ConfusionMatrix
+
+    ev = object.__new__(OnlineEval2D)
+    ev.classes = ["Background", "Liver", "Tumor"]
+    ev.metric_names = ["Dice", "VOE", "RVD", "ASSD"]  # ASSD: no 2D fn, skipped
+    ev.use_global_dice = True
+    fn = jax.jit(ev._batch_metrics)
+
+    rng = np.random.RandomState(7)
+    probs = rng.dirichlet([1.0, 1.0, 1.0], size=(4, 16, 16)).astype(np.float32)
+    labels = rng.randint(0, 3, size=(4, 16, 16))
+    vals = jax.device_get(fn(probs, labels))
+
+    for i, cls in enumerate(ev.classes[1:], start=1):
+        pred_i = (probs[..., i] > 0.5).astype(np.float32)
+        lab_i = (labels == i).astype(np.float32)
+        for met in ["Dice", "VOE", "RVD"]:
+            want = float(METRIC_FNS[met.lower()](pred_i[..., None],
+                                                 lab_i[..., None]))
+            assert abs(float(vals[f"{cls}/{met}"]) - want) < 1e-5, (cls, met)
+        cm = ConfusionMatrix(pred_i, lab_i)
+        for kind in ["tp", "fp", "tn", "fn"]:
+            assert int(vals[f"_cm/{kind}/{cls}"]) == getattr(cm, kind)
+    assert not any(k.endswith("ASSD") for k in vals)

@@ -58,6 +58,10 @@ FLAGS = _base_flags() + RUNGS[RUNG]["flags"] + [
     "--batches_per_epoch", "500", "--eval_per_epoch",
     "--save_best", "--save_interval", "5000",
     "--primary_metric", "NF/Dice",
+    # Product HBM volume cache (the bench/CLI composition; ~4.5x wall on the
+    # 1-core host, device gathers slices + renders guides) — a 20k-step run
+    # must fit the round's chip budget.
+    "--device_cache",
 ]
 
 
@@ -104,9 +108,18 @@ def report():
                 row = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if any(k.startswith("eval/") for k in row):
+            # scalar schema: {step, tag, time, value}; eval rows are tagged
+            # "<summary_prefix>/eval/<Class>/<Metric>"
+            if "/eval/" in str(row.get("tag", "")):
                 evals.append(row)
     out["eval_rows"] = evals
+    lrs = [r for r in (json.loads(line) for line in
+                       metrics.read_text().splitlines())
+           if str(r.get("tag", "")).endswith("/learning_rate")] \
+        if metrics.exists() else []
+    decays = [(b["step"], a["value"], b["value"])
+              for a, b in zip(lrs, lrs[1:]) if b["value"] < a["value"] * 0.99]
+    out["lr_decays"] = decays
     print("FULLTRAIN", json.dumps(out))
 
 
