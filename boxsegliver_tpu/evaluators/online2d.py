@@ -69,7 +69,24 @@ class OnlineEval2D:
                 fn = _METRIC_FNS.get(met.lower())
                 if fn is None:  # surface metrics need volumes, skip in 2D
                     continue
-                out[f"{cls}/{met}"] = fn(pred_i[..., None], lab_i[..., None])
+                if met.lower() in ("vd", "rvd"):
+                    # Relative volume error is undefined on an empty GT
+                    # sample (the formula divides by ~0 and one such sample
+                    # makes the epoch mean ~1e7, as observed in the round-5
+                    # full-length run).  Deviation from the raw reference
+                    # batch mean (loss_metrics.py:323-339 has no guard):
+                    # mask empty-GT samples out of the mean — medpy's
+                    # offline RVD likewise requires a non-empty reference.
+                    per = fn(pred_i[..., None], lab_i[..., None],
+                             reduce=False)
+                    axes = tuple(range(1, lab_i.ndim))
+                    present = (jnp.sum(lab_i, axis=axes) > 0)
+                    present = present.astype(jnp.float32)
+                    out[f"_masked_sum/{cls}/{met}"] = jnp.sum(per * present)
+                    out[f"_masked_n/{cls}/{met}"] = jnp.sum(present)
+                else:
+                    out[f"{cls}/{met}"] = fn(pred_i[..., None],
+                                             lab_i[..., None])
             if self.use_global_dice:
                 t, r = pred_i != 0, lab_i != 0
                 out[f"_cm/tp/{cls}"] = jnp.sum(t & r)
@@ -100,7 +117,14 @@ class OnlineEval2D:
                         cm.size += int(np.prod(np.shape(labels)))
                 else:
                     sums[key] = sums.get(key, 0.0) + float(val)
-        out = {k: v / max(count, 1) for k, v in sums.items()}
+        out = {k: v / max(count, 1) for k, v in sums.items()
+               if not k.startswith("_masked_")}
+        # presence-masked means (RVD/VD): sum over contributing samples
+        # across ALL batches / number of contributing samples
+        for key in [k for k in sums if k.startswith("_masked_sum/")]:
+            tail = key[len("_masked_sum/"):]
+            n = sums.get(f"_masked_n/{tail}", 0.0)
+            out[tail] = sums[key] / n if n > 0 else 0.0
         if self.use_global_dice:
             for cls, cm in cms.items():
                 out[f"{cls}/GlobalDice"] = cm.global_dice

@@ -263,11 +263,62 @@ def test_online_eval_jitted_batch_metrics_match_host():
     for i, cls in enumerate(ev.classes[1:], start=1):
         pred_i = (probs[..., i] > 0.5).astype(np.float32)
         lab_i = (labels == i).astype(np.float32)
-        for met in ["Dice", "VOE", "RVD"]:
+        for met in ["Dice", "VOE"]:
             want = float(METRIC_FNS[met.lower()](pred_i[..., None],
                                                  lab_i[..., None]))
             assert abs(float(vals[f"{cls}/{met}"]) - want) < 1e-5, (cls, met)
+        # RVD is emitted as a presence-masked (sum, n) pair; with every
+        # sample non-empty here, sum/n == the plain host batch mean
+        per = METRIC_FNS["rvd"](pred_i[..., None], lab_i[..., None],
+                                reduce=False)
+        n = float(vals[f"_masked_n/{cls}/RVD"])
+        assert n == probs.shape[0]
+        got = float(vals[f"_masked_sum/{cls}/RVD"]) / n
+        assert abs(got - float(np.mean(per))) < 1e-4, cls
         cm = ConfusionMatrix(pred_i, lab_i)
         for kind in ["tp", "fp", "tn", "fn"]:
             assert int(vals[f"_cm/{kind}/{cls}"]) == getattr(cm, kind)
     assert not any(k.endswith("ASSD") for k in vals)
+
+
+def test_online_eval_rvd_masks_empty_gt_samples():
+    """A single empty-GT sample must not blow up the epoch RVD (round-5
+    full-length run: the raw per-sample formula divides by ~0 and one such
+    eval sample made the logged epoch RVD ~1e4-1e6 while Dice stayed sane).
+    Empty-GT samples are masked out of the RVD mean; Dice/VOE (the
+    selection metrics) keep the reference's plain batch mean."""
+    import jax
+    import jax.numpy as jnp
+
+    from boxsegliver_tpu.evaluators.online2d import OnlineEval2D
+
+    ev = object.__new__(OnlineEval2D)
+    ev.classes = ["Background", "NF"]
+    ev.metric_names = ["Dice", "VOE", "RVD"]
+    ev.use_global_dice = False
+    ev._metrics_fn = jax.jit(ev._batch_metrics)
+    ev._key = jax.random.PRNGKey(0)
+    ev.process_fn = lambda batch, key: (batch, batch.pop("labels"))
+
+    # 3 samples with GT, 1 empty-GT sample that the model predicts ON
+    labels = np.zeros((4, 8, 8), np.int32)
+    labels[:3, 2:6, 2:6] = 1
+    probs = np.zeros((4, 8, 8, 2), np.float32)
+    probs[..., 0] = 1.0
+    probs[:, 3:5, 3:5, 1] = 1.0  # predicts a blob on all 4, incl. sample 3
+    probs[:, 3:5, 3:5, 0] = 0.0
+
+    class _T:
+        summary = None
+        global_step = 0
+        predict = staticmethod(lambda feats: jnp.asarray(probs))
+
+    ev.batches = [{"labels": labels.copy()}]
+    out = ev.__call__(_T())
+    # masked: RVD = mean over the 3 GT samples of |4-16|/16 * 100 = 75%
+    assert abs(out["NF/RVD"] - 75.0) < 1e-3
+    assert not any(k.startswith("_masked_") for k in out)
+    # all-empty-GT edge: defined as 0, not inf
+    ev.batches = [{"labels": np.zeros((4, 8, 8), np.int32)}]
+    out2 = ev.__call__(_T())
+    assert out2["NF/RVD"] == 0.0
