@@ -28,8 +28,12 @@ sys.path.insert(0, str(REPO))
 
 from tools.run_ladder import BASE, MODEL_ROOT, RUNGS, run  # noqa: E402
 
-RUNG = "gunet_both"
-MODEL_DIR = MODEL_ROOT / "gunet_both_full"
+# Default flagship rung; any ladder rung name may be passed as argv[2]
+# (e.g. ``python tools/run_full_train.py train gunet_sp``) to run the same
+# full-length protocol on an ablation arm — used round 5 to check the
+# both>sp ordering under the full 20k-step protocol, not just 2k sprints.
+RUNG = sys.argv[2] if len(sys.argv) > 2 else "gunet_both"
+MODEL_DIR = MODEL_ROOT / f"{RUNG}_full"
 TOTAL_STEPS = 20000
 
 # BASE minus the sprint LR schedule / step budget / ckpt cadence (which we
